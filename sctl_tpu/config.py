@@ -1,0 +1,83 @@
+"""Runtime configuration for sctl_tpu.
+
+The reference library (SCTL) is configured entirely through compile-time
+preprocessor flags (reference: include/sctl/common.hpp:9-41, README.md:33-56;
+see SURVEY.md §5.6).  A JAX library is configured at runtime instead: this
+module provides a process-global `Config` dataclass populated from
+environment variables (prefix ``SCTL_``), with the same "always-works
+fallback" discipline the reference has (every optional feature degrades
+gracefully: Pallas kernels fall back to pure-XLA paths, multi-device code
+runs on a 1-device mesh).
+
+Flag parity map (reference flag -> here):
+  SCTL_MEMDEBUG        -> Config.debug (enables shape/dtype/NaN guard checks)
+  SCTL_PROFILE=<level> -> Config.profile_level
+  SCTL_VERBOSE         -> Config.verbose
+  SCTL_DATA_PATH       -> Config.data_path (default ./data/, common.hpp:9-11)
+  SCTL_QUAD_T          -> always available as double-double (sctl_tpu.quadmath)
+  SCTL_MAX_DEPTH       -> Config.max_tree_depth (morton.hpp:10-12, =15)
+  SCTL_SHMAXDEG        -> Config.sh_max_degree (sph_harm.hpp:13, =1024)
+  SCTL_HAVE_MPI        -> n/a: device mesh size decides distribution
+  SCTL_HAVE_BLAS/LAPACK/FFTW -> n/a: XLA provides these natively
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+
+def _env_bool(name: str, default: bool) -> bool:
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    return v.lower() not in ("0", "false", "off", "")
+
+
+def _env_int(name: str, default: int) -> int:
+    v = os.environ.get(name)
+    return int(v) if v else default
+
+
+@dataclasses.dataclass
+class Config:
+    # Diagnostics (MEMDEBUG equivalent): extra validation of shapes/dtypes
+    # and NaN tripwires in debug-checked entry points.
+    debug: bool = dataclasses.field(
+        default_factory=lambda: _env_bool("SCTL_MEMDEBUG", False))
+    # Profiling depth: Profile.tic/toc deeper than this level are no-ops
+    # (reference: profile.txx:529-533).
+    profile_level: int = dataclasses.field(
+        default_factory=lambda: _env_int("SCTL_PROFILE", -1))
+    verbose: bool = dataclasses.field(
+        default_factory=lambda: _env_bool("SCTL_VERBOSE", False))
+    # Directory for cached precomputed tables (quadrature rules, SH
+    # matrices) — reference: common.hpp:9-11.
+    data_path: str = dataclasses.field(
+        default_factory=lambda: os.environ.get("SCTL_DATA_PATH", "./data/"))
+    # Morton key depth (levels). uint64 keys support DIM*depth+rank bits.
+    max_tree_depth: int = dataclasses.field(
+        default_factory=lambda: _env_int("SCTL_MAX_DEPTH", 15))
+    sh_max_degree: int = dataclasses.field(
+        default_factory=lambda: _env_int("SCTL_SHMAXDEG", 1024))
+    # Force pure-XLA fallbacks instead of Pallas kernels (e.g. on CPU test
+    # meshes).  Pallas paths also auto-detect non-TPU backends.
+    disable_pallas: bool = dataclasses.field(
+        default_factory=lambda: _env_bool("SCTL_DISABLE_PALLAS", False))
+    # Use the Pallas interpreter (slow, debuggable) instead of Mosaic.
+    pallas_interpret: bool = dataclasses.field(
+        default_factory=lambda: _env_bool("SCTL_PALLAS_INTERPRET", False))
+
+
+config = Config()
+
+
+def use_pallas() -> bool:
+    """True when Pallas TPU kernels should be used for the hot paths."""
+    if config.disable_pallas:
+        return False
+    import jax
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
