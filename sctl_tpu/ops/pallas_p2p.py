@@ -1,0 +1,265 @@
+"""Pallas TPU kernel for direct P2P summation.
+
+The TPU replacement for the reference's SIMD hot loop (reference:
+generic-kernel.txx:76-189: targets vectorized across lanes, sources
+broadcast with Load1, masked approx_rsqrt + FMA; SURVEY.md §3.5).  Here
+the same computation is a Mosaic kernel over (source-tile, target-tile)
+blocks:
+
+  layout    : all point data TRANSPOSED to (dim, N) so tiles are
+              (dim, block) — lane dimension = points (128-aligned),
+              sublane = coordinate/component (padded 3->8), exactly the
+              "targets in lanes" shape of the reference hot loop.
+  pairwise  : r^2 built from 3 broadcasted squared differences on the
+              VPU (BS x BT tiles); masked rsqrt on the VPU.
+  contract  : density contraction as (k0, BS) x (BS, BT) jnp.dot on the
+              MXU, accumulated over source tiles by revisiting the
+              output block (grid = (targets, sources), out index
+              ignores the source index).
+
+Per-kernel tile functions cover the full kernel library; `p2p` is the
+public entry and `direct_eval`-compatible.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import profile
+from .kernels import KernelSpec, KERNELS
+
+
+def _rinv_t(r2):
+    """Masked rsqrt + one Newton step: the TPU VPU rsqrt is a fast
+    approximation; one refinement x*(1.5 - 0.5*r2*x^2) recovers full
+    f32 accuracy (the reference's approx_rsqrt<digits> Newton pattern,
+    vec.txx:357-370)."""
+    r2s = jnp.where(r2 > 0, r2, 1.0)
+    x = lax.rsqrt(r2s)
+    x = x * (1.5 - 0.5 * r2s * x * x)
+    return jnp.where(r2 > 0, x, 0.0)
+
+
+def _pair_r2(xs_t, xt_t):
+    """(BS, BT) squared distances; xs_t (3,BS), xt_t (3,BT)."""
+    acc = None
+    for d in range(3):
+        dx = xs_t[d][:, None] - xt_t[d][None, :]
+        acc = dx * dx if acc is None else acc + dx * dx
+    return acc
+
+
+def _pair_rdot(xs_t, xt_t, v_t):
+    """(BS, BT) pairwise (xt - xs) . v_s ; v_t (3,BS) per-source."""
+    acc = None
+    for d in range(3):
+        t = (xt_t[d][None, :] - xs_t[d][:, None]) * v_t[d][:, None]
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def _mm(a, b):
+    """Thin contraction (k,BS)x(BS,BT)->(k,BT) on the VPU.
+
+    k <= 13 for every kernel in the library, so the MXU brings no
+    advantage (it would use k of 128 output rows and round operands to
+    bf16 — 1e-2-level errors; full-f32 MXU emulation compiles ~100x
+    slower under Mosaic).  A broadcast-multiply + sublane reduction per
+    output row is exact f32 and costs 2*BS*BT flops per row on the VPU.
+    """
+    rows = [jnp.sum(b * a[i][:, None], axis=0, keepdims=True)
+            for i in range(a.shape[0])]
+    return jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+
+
+# ---- per-kernel tile functions: (xs_t, ns_t, f_t, xt_t) -> (k1, BT) ----
+
+def _tile_lap_fxu(xs_t, ns_t, f_t, xt_t):
+    rinv = _rinv_t(_pair_r2(xs_t, xt_t))
+    return _mm(f_t, rinv)                                  # (1,BT)
+
+
+def _tile_lap_dxu(xs_t, ns_t, f_t, xt_t):
+    rinv = _rinv_t(_pair_r2(xs_t, xt_t))
+    rdotn = _pair_rdot(xs_t, xt_t, ns_t)
+    return _mm(f_t, rdotn * rinv * rinv * rinv)
+
+
+def _tile_lap_fxdu(xs_t, ns_t, f_t, xt_t):
+    rinv = _rinv_t(_pair_r2(xs_t, xt_t))
+    rinv3 = rinv * rinv * rinv
+    # out_d = sum_s r_d rinv3 f = xt_d * (f@rinv3) - (f*xs_d)@rinv3
+    B = jnp.concatenate([f_t, xs_t * f_t], axis=0)         # (4,BS)
+    H = _mm(B, rinv3)                                      # (4,BT)
+    return xt_t * H[0:1] - H[1:4]
+
+
+def _tile_stk_fxu(xs_t, ns_t, f_t, xt_t):
+    rinv = _rinv_t(_pair_r2(xs_t, xt_t))
+    rinv3 = rinv * rinv * rinv
+    C = _pair_rdot(xs_t, xt_t, f_t) * rinv3                # (BS,BT)
+    term1 = _mm(f_t, rinv)                                 # (3,BT)
+    B = jnp.concatenate([jnp.ones_like(xs_t[0:1]), xs_t], axis=0)
+    H = _mm(B, C)                                          # (4,BT)
+    return term1 + xt_t * H[0:1] - H[1:4]
+
+
+def _tile_stk_dxu(xs_t, ns_t, f_t, xt_t):
+    rinv = _rinv_t(_pair_r2(xs_t, xt_t))
+    rinv2 = rinv * rinv
+    D = (_pair_rdot(xs_t, xt_t, f_t) * _pair_rdot(xs_t, xt_t, ns_t)
+         * rinv2 * rinv2 * rinv)
+    B = jnp.concatenate([jnp.ones_like(xs_t[0:1]), xs_t], axis=0)
+    H = _mm(B, D)
+    return xt_t * H[0:1] - H[1:4]
+
+
+def _tile_stk_fxt(xs_t, ns_t, f_t, xt_t):
+    rinv = _rinv_t(_pair_r2(xs_t, xt_t))
+    rinv2 = rinv * rinv
+    E = _pair_rdot(xs_t, xt_t, f_t) * (rinv2 * rinv2 * rinv)
+    ones = jnp.ones_like(xs_t[0:1])
+    xx = jnp.concatenate(
+        [xs_t[j:j + 1] * xs_t[k:k + 1] for j in range(3)
+         for k in range(3)], axis=0)                       # (9,BS)
+    B = jnp.concatenate([ones, xs_t, xx], axis=0)          # (13,BS)
+    H = _mm(B, E)                                          # (13,BT)
+    h0, hx, hxx = H[0:1], H[1:4], H[4:13]
+    rows = []
+    for j in range(3):
+        for k in range(3):
+            rows.append(xt_t[j:j + 1] * xt_t[k:k + 1] * h0
+                        - xt_t[j:j + 1] * hx[k:k + 1]
+                        - hx[j:j + 1] * xt_t[k:k + 1]
+                        + hxx[3 * j + k:3 * j + k + 1])
+    return jnp.concatenate(rows, axis=0)                   # (9,BT)
+
+
+def _tile_stk_fsxu(xs_t, ns_t, f_t, xt_t):
+    u = _tile_stk_fxu(xs_t, ns_t, f_t[:3], xt_t)
+    rinv = _rinv_t(_pair_r2(xs_t, xt_t))
+    rinv3 = rinv * rinv * rinv
+    q = f_t[3:4]
+    B = jnp.concatenate([q, xs_t * q], axis=0)
+    H = _mm(B, rinv3)
+    return u + xt_t * H[0:1] - H[1:4]
+
+
+def _tile_stk_fxup(xs_t, ns_t, f_t, xt_t):
+    rinv = _rinv_t(_pair_r2(xs_t, xt_t))
+    rinv3 = rinv * rinv * rinv
+    C = _pair_rdot(xs_t, xt_t, f_t) * rinv3
+    term1 = _mm(f_t, rinv)
+    B = jnp.concatenate([jnp.ones_like(xs_t[0:1]), xs_t], axis=0)
+    H = _mm(B, C)
+    u = term1 + xt_t * H[0:1] - H[1:4]
+    p = _mm(jnp.ones_like(f_t[0:1]), C)                    # (1,BT)
+    return jnp.concatenate([u, p], axis=0)
+
+
+_TILE_FNS = {
+    "Laplace3D-FxU": _tile_lap_fxu,
+    "Laplace3D-DxU": _tile_lap_dxu,
+    "Laplace3D-FxdU": _tile_lap_fxdu,
+    "Stokes3D-FxU": _tile_stk_fxu,
+    "Stokes3D-DxU": _tile_stk_dxu,
+    "Stokes3D-FxT": _tile_stk_fxt,
+    "Stokes3D-FSxU": _tile_stk_fsxu,
+    "Stokes3D-FxUP": _tile_stk_fxup,
+}
+
+
+def _p2p_kernel_body(tile_fn, nbs_total, xt_ref, xs_ref, ns_ref, f_ref,
+                     out_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += tile_fn(xs_ref[:], ns_ref[:], f_ref[:], xt_ref[:])
+
+
+def _pad_cols(a, n):
+    """Pad trailing axis of (k, N) to n columns with zeros."""
+    k = a.shape[1]
+    if k == n:
+        return a
+    return jnp.pad(a, ((0, 0), (0, n - k)))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kernel", "block_t", "block_s",
+                                    "interpret"))
+def _p2p_impl(kernel: KernelSpec, xt_t, xs_t, ns_t, f_t,
+              block_t: int, block_s: int, interpret: bool):
+    nt, ns_pts = xt_t.shape[1], xs_t.shape[1]
+    nbt = -(-nt // block_t)
+    nbs = -(-ns_pts // block_s)
+    xt_p = _pad_cols(xt_t, nbt * block_t)
+    xs_p = _pad_cols(xs_t, nbs * block_s)
+    ns_p = _pad_cols(ns_t, nbs * block_s)
+    f_p = _pad_cols(f_t, nbs * block_s)  # zero densities: no contribution
+
+    tile_fn = _TILE_FNS[kernel.name]
+    grid = (nbt, nbs)
+    out = pl.pallas_call(
+        functools.partial(_p2p_kernel_body, tile_fn, nbs),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, block_t), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, block_s), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, block_s), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kernel.kdim0, block_s), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((kernel.kdim1, block_t),
+                               lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((kernel.kdim1, nbt * block_t),
+                                       xt_t.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=int(nt) * int(ns_pts) * kernel.flops,
+            bytes_accessed=(xt_p.size + xs_p.size + f_p.size) * 4,
+            transcendentals=int(nt) * int(ns_pts)),
+        interpret=interpret,
+    )(xt_p, xs_p, ns_p, f_p)
+    return out[:, :nt]
+
+
+def p2p(kernel: KernelSpec, xt, xs, f, ns=None,
+        block_t: int = 512, block_s: int = 1024,
+        interpret: Optional[bool] = None):
+    """Direct P2P sum via the Pallas TPU kernel.
+
+    Args/result match `direct.direct_eval` ((N,3)/(N,k) row layout);
+    transposition to the kernel's (k,N) layout happens here.  float32.
+    """
+    from ..config import config
+    if interpret is None:
+        interpret = config.pallas_interpret or (
+            jax.default_backend() not in ("tpu", "axon"))
+    dt = jnp.float32
+    f = f.reshape(xs.shape[0], kernel.kdim0)
+    if kernel.needs_normal:
+        assert ns is not None, f"{kernel.name} needs source normals"
+    profile.add_flops(float(xt.shape[0]) * xs.shape[0] * kernel.flops)
+    xt_t = xt.T.astype(dt)
+    xs_t = xs.T.astype(dt)
+    ns_t = (ns.T.astype(dt) if ns is not None
+            else jnp.zeros_like(xs_t))
+    f_t = f.T.astype(dt)
+    u_t = _p2p_impl(kernel, xt_t, xs_t, ns_t, f_t, block_t, block_s,
+                    interpret)
+    return (u_t.T * jnp.asarray(kernel.scale_factor, dtype=dt))
