@@ -1,0 +1,12 @@
+from .gmres import GMRES, KrylovPrecond, gmres
+from .lagrange import interpolation_matrix, derivative_matrix
+from .quadrule import cheb_quad_rule, leg_quad_rule, InterpQuadRule
+from .ode import SDC
+from .fft import FFT
+
+__all__ = [
+    "GMRES", "KrylovPrecond", "gmres",
+    "interpolation_matrix", "derivative_matrix",
+    "cheb_quad_rule", "leg_quad_rule", "InterpQuadRule",
+    "SDC", "FFT",
+]

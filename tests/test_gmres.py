@@ -1,0 +1,106 @@
+"""GMRES + KrylovPrecond tests (reference anchors: GMRES::test
+lin-solve.txx:253-283 — random NxN solve to 1e-10; test-linear-solver.cpp
+— Krylov-preconditioner reuse halves iterations on second solve)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from sctl_tpu.linalg import GMRES, KrylovPrecond, gmres
+
+
+def test_gmres_random_matrix():
+    """Mirror of GMRES<Real>::test (lin-solve.txx:253)."""
+    rng = np.random.default_rng(0)
+    N = 15
+    A = jnp.asarray(rng.random((N, N)))
+    b = jnp.asarray(rng.random(N))
+    x, iters = gmres(lambda v: A @ v, b, tol=1e-10)
+    err = float(jnp.max(jnp.abs(A @ x - b)))
+    assert err < 1e-9, err
+    assert iters <= N
+
+
+def test_gmres_identity_shortcut():
+    b = jnp.ones(10)
+    x, iters = gmres(lambda v: v, b, tol=1e-12)
+    np.testing.assert_allclose(np.asarray(x), 1.0, atol=1e-12)
+    assert iters == 1
+
+
+def test_gmres_x0():
+    rng = np.random.default_rng(1)
+    N = 20
+    A = jnp.asarray(rng.random((N, N)) + np.eye(N) * 5)
+    xs = jnp.asarray(rng.random(N))
+    b = A @ xs
+    x, it1 = gmres(lambda v: A @ v, b, tol=1e-12)
+    x2, it2 = gmres(lambda v: A @ v, b, tol=1e-12, x0=x)
+    assert it2 == 0  # already converged
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(xs), atol=1e-9)
+
+
+def test_krylov_precond_reuse():
+    """Mirror of src/test-linear-solver.cpp: A = I + low-rank with
+    exponentially decaying spectrum; second solve with recycled Krylov
+    subspace needs far fewer iterations."""
+    rng = np.random.default_rng(2)
+    N, rank = 200, 200
+    A = np.zeros((N, N))
+    for r in range(rank):
+        u = rng.random((N, 1))
+        vt = rng.random((1, N))
+        A += u @ vt * np.exp(np.log(np.finfo(np.float64).eps) * r / rank)
+    A += np.eye(N)
+    Aj = jnp.asarray(A)
+    op = lambda v: Aj @ v
+
+    kp = KrylovPrecond()
+    x0 = jnp.asarray(rng.random(N))
+    b = op(x0)
+    x, it1 = gmres(op, b, tol=1e-10, krylov_precond=kp)
+    resid1 = float(jnp.linalg.norm(op(x) - b) / jnp.linalg.norm(b))
+    assert resid1 < 1e-9, resid1
+    # forward error limited by cond(A) ~ 2e5 times the residual
+    assert float(jnp.max(jnp.abs(x - x0))) < 1e-5
+    assert kp.rank() == it1 and kp.size() == N
+
+    x0b = jnp.asarray(rng.random(N))
+    b2 = op(x0b)
+    x2, it2 = gmres(op, b2, tol=1e-10, krylov_precond=kp)
+    resid2 = float(jnp.linalg.norm(op(x2) - b2) / jnp.linalg.norm(b2))
+    assert resid2 < 1e-9, resid2
+    assert float(jnp.max(jnp.abs(x2 - x0b))) < 1e-5
+    assert it2 < it1 / 2, (it1, it2)  # reference shows 23 -> 8
+
+
+def test_gmres_sharded(mesh8):
+    """Distributed GMRES: operator and vectors sharded over 8 devices;
+    inner products become psum collectives under GSPMD (the reference's
+    comm.Allreduce in inner_prod, lin-solve.txx:68-78)."""
+    rng = np.random.default_rng(3)
+    N = 256
+    A = jnp.asarray(rng.random((N, N)) / N + np.eye(N))
+    sh = NamedSharding(mesh8, P("x"))
+    b = jax.device_put(jnp.asarray(rng.random(N)), sh)
+    Ash = jax.device_put(A, NamedSharding(mesh8, P("x", None)))
+
+    @jax.jit
+    def op(v):
+        return Ash @ v
+
+    x, iters = gmres(op, b, tol=1e-10)
+    err = float(jnp.max(jnp.abs(A @ x - b)))
+    assert err < 1e-9, err
+
+
+def test_gmres_class_facade():
+    rng = np.random.default_rng(4)
+    N = 30
+    A = jnp.asarray(rng.random((N, N)) + np.eye(N) * 3)
+    b = jnp.asarray(rng.random(N))
+    solver = GMRES(verbose=False)
+    x, iters = solver(lambda v: A @ v, b, tol=1e-11)
+    assert float(jnp.linalg.norm(A @ x - b)) < 1e-10 * float(
+        jnp.linalg.norm(b)) * 10
