@@ -1,15 +1,17 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
-Current headline (pre-FMM): Laplace3D P2P direct-sum pair throughput on
-one chip via the Pallas kernel — the per-chip hot loop underneath FMM
-near-field and BIE near interactions (BASELINE.md: the north-star metric
-becomes FMM points/sec/chip at 1e7 points once the tree FMM lands; this
-bench will switch to it then).
+Headline (BASELINE.json): Laplace KIFMM throughput at 1e7 uniform
+points, points/sec/chip, device-resident evaluation (density on device,
+potential on device — the steady state of a GMRES/BIE outer loop).
 
-vs_baseline: ratio to 10 Gpairs/s — an estimate of a 64-core x86 node
-running the reference's AVX-512 SIMD hot loop (BASELINE.json targets
->=5x per-chip vs that node; the reference publishes no numbers of its
-own, BASELINE.md).
+vs_baseline: ratio to 1e7 pts/s — an estimate of a 64-core x86 node
+running a PVFMM-class CPU FMM at the same size/accuracy (the reference
+publishes no numbers of its own, BASELINE.md; north star is >=5x).
+
+Timing rules for this environment (see .claude/skills/verify/SKILL.md):
+fresh input values per call (the runtime result-caches identical
+dispatches) and scalar-readback fencing (block_until_ready returns
+before remote execution completes).
 """
 
 import json
@@ -20,39 +22,36 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench_p2p(n: int = 65536, iters: int = 5) -> float:
+def bench_fmm(n: int = 10_000_000, iters: int = 3) -> float:
+    from sctl_tpu.fmm import KIFMM
     from sctl_tpu.ops import Laplace3D_FxU
-    from sctl_tpu.ops.pallas_p2p import p2p
 
     rng = np.random.default_rng(0)
-    xt = jnp.asarray(rng.normal(size=(n, 3)), dtype=jnp.float32)
-    xs = jnp.asarray(rng.normal(size=(n, 3)) + 3.0, dtype=jnp.float32)
-    # fresh densities per call: the runtime result-caches identical
-    # (executable, inputs) dispatches, which would fake the timing
-    fs = [jnp.asarray(rng.normal(size=(n, 1)), dtype=jnp.float32)
-          for _ in range(iters + 1)]
-
-    # sync via scalar readback: on the axon platform block_until_ready
-    # returns before remote execution completes; materializing a value
-    # is the only reliable fence
-    float(jnp.sum(p2p(Laplace3D_FxU, xt, xs, fs[-1])))       # compile
+    xs = rng.random((n, 3))
+    f = rng.normal(size=(n, 1))
+    kifmm = KIFMM(Laplace3D_FxU, p=6, depth=6).setup(xs, xs)
+    fp = kifmm._pad_density(f)
+    jit = jax.jit(kifmm._eval_impl)
+    float(jnp.sum(jit(fp, kifmm._data)))             # compile + warm
     times = []
-    for f in fs[:iters]:
+    for rep in range(iters):
+        fp2 = fp * (1.0 + 1e-6 * (rep + 1))          # fresh values
+        float(jnp.sum(fp2))                          # materialize
         t0 = time.perf_counter()
-        float(jnp.sum(p2p(Laplace3D_FxU, xt, xs, f)))
+        float(jnp.sum(jit(fp2, kifmm._data)))        # fenced readback
         times.append(time.perf_counter() - t0)
-    dt = sorted(times)[len(times) // 2]            # median
-    return n * n / dt
+    dt = sorted(times)[len(times) // 2]
+    return n / dt
 
 
 def main():
-    pairs_per_s = bench_p2p()
-    baseline_pairs_per_s = 10e9   # est. 64-core x86 node (see docstring)
+    pts_per_s = bench_fmm()
+    baseline_pts_per_s = 1e7      # est. 64-core x86 node (see docstring)
     print(json.dumps({
-        "metric": "laplace_p2p_pairs_per_sec_per_chip",
-        "value": round(pairs_per_s / 1e9, 3),
-        "unit": "Gpairs/s",
-        "vs_baseline": round(pairs_per_s / baseline_pairs_per_s, 3),
+        "metric": "laplace_kifmm_points_per_sec_per_chip_1e7",
+        "value": round(pts_per_s / 1e6, 2),
+        "unit": "Mpts/s",
+        "vs_baseline": round(pts_per_s / baseline_pts_per_s, 3),
     }))
 
 

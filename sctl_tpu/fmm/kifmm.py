@@ -1,0 +1,459 @@
+"""Kernel-independent FMM (KIFMM) on a uniform Morton tree.
+
+The reference outsources tree FMM to PVFMM (reference:
+fmm-wrapper.txx:788-936, SURVEY.md §3.4); this is the native TPU
+implementation (SURVEY.md §7 M7).  Method: equivalent-surface KIFMM
+(Ying-Biros-Zorin), batched for the MXU:
+
+  S2M  per-leaf check potentials (pairwise kernel, VPU) then
+       q_up = uc2e @ u_check (batched GEMM)
+  M2M  child->parent as 8 precomputed (n_surf x n_surf) GEMMs
+  M2L  the V-list realized as 316 relative grid shifts of the dense
+       per-level box grid, each one masked (child-parity validity +
+       domain boundary) batched GEMM — no interaction lists, no gather:
+       shift + matmul only
+  L2L  parent->child, 8 GEMMs; dc2e solve folded into precompute
+  L2T  per-leaf equivalent->targets (pairwise kernel)
+  P2P  27 neighbor offsets; for each, every target box interacts with
+       one source box — a (B, Ct, Cs) batched pairwise sweep chunked
+       with lax.map to bound memory
+
+Operators are precomputed per level on host in float64 (pinv with
+rcond), then cast to the device dtype (float32 on TPU).  Kernel roles
+(cf. the reference's SetKernels M2M/M2L/... fmm-wrapper.hpp:73-100):
+
+  ker_s2t : source->target, used for P2P and S2M check potentials
+  ker_trans : equivalent-monopole translation kernel (Laplace3D-FxU for
+      the Laplace family)
+  ker_l2t : equivalent monopoles -> target quantity (FxU for potential
+      targets, FxdU for gradients)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .. import profile
+from ..ops.kernels import (KernelSpec, Laplace3D_FxU)
+from ..tree.tree import UniformTree
+
+# KIFMM surface radii (ratio of surface half-side to box half-side)
+RAD_IN = 1.05   # upward-equivalent / downward-check surface
+RAD_OUT = 2.95  # upward-check / downward-equivalent surface
+
+
+def cube_surface(p: int) -> np.ndarray:
+    """(n_surf, 3) points on the surface of the cube [-1,1]^3, a p^3
+    grid minus the interior; n_surf = 6p^2 - 12p + 8."""
+    g = np.linspace(-1, 1, p)
+    pts = np.stack(np.meshgrid(g, g, g, indexing="ij"), -1).reshape(-1, 3)
+    on_surf = (np.abs(pts) == 1).any(axis=1)
+    return pts[on_surf]
+
+
+def _kmat(ker: KernelSpec, xt: np.ndarray, xs: np.ndarray,
+          ns: Optional[np.ndarray] = None) -> np.ndarray:
+    """(Nt*k1, Ns*k0) host kernel matrix u = M @ f (incl. scale).
+
+    Pure numpy: the precompute makes hundreds of small matrix builds,
+    and device dispatches (esp. through a remote TPU tunnel) would
+    dominate setup time.  Only the translation kernels are needed here
+    (Laplace family); others raise.
+    """
+    d = xt[:, None, :] - xs[None, :, :]
+    r2 = (d * d).sum(-1)
+    rinv = np.where(r2 > 0, 1.0 / np.sqrt(np.where(r2 > 0, r2, 1)), 0.0)
+    if ker.name == "Laplace3D-FxU":
+        return rinv * ker.scale_factor             # (Nt, Ns), k0=k1=1
+    if ker.name == "Laplace3D-FxdU":
+        g = d * (rinv ** 3)[..., None] * ker.scale_factor
+        # (Nt*3, Ns): u[t,comp] rows interleaved target-major
+        return g.transpose(0, 2, 1).reshape(xt.shape[0] * 3,
+                                            xs.shape[0])
+    raise NotImplementedError(
+        f"host kernel matrix for {ker.name} (translation kernels are "
+        f"Laplace family)")
+
+
+def _pinv(a: np.ndarray, rcond: float = 1e-9) -> np.ndarray:
+    u, s, vt = np.linalg.svd(a, full_matrices=False)
+    cut = rcond * s[0]
+    sinv = np.where(s > cut, 1 / np.where(s > cut, s, 1), 0.0)
+    return (vt.T * sinv) @ u.T
+
+
+def _vlist_offsets():
+    """All 316 same-level relative offsets delta with |delta|_inf in
+    {2,3}, plus the (8-parity, offset) validity table: delta is in the
+    V-list of a child at parity c iff the parents are neighbors:
+    |floor((c+delta)/2)|_inf <= 1."""
+    rng = np.arange(-3, 4)
+    d = np.stack(np.meshgrid(rng, rng, rng, indexing="ij"),
+                 -1).reshape(-1, 3)
+    far = np.abs(d).max(axis=1) >= 2
+    d = d[far]                                     # (316, 3)
+    par = np.stack(np.meshgrid([0, 1], [0, 1], [0, 1], indexing="ij"),
+                   -1).reshape(-1, 3)              # (8, 3)
+    pd = np.floor((par[:, None, :] + d[None, :, :]) / 2).astype(int)
+    valid = (np.abs(pd).max(axis=2) <= 1)          # (8, 316)
+    return d, valid
+
+
+class KIFMMOperators:
+    """Per-(kernel family, p, depth, scale) precomputed operators."""
+
+    def __init__(self, ker_s2t: KernelSpec, ker_trans: KernelSpec,
+                 ker_l2t: KernelSpec, p: int, depth: int, scale: float,
+                 dtype=jnp.float32, rcond: Optional[float] = None):
+        if rcond is None:
+            # f32 pipeline: pinv components with sigma below ~3e-5
+            # amplify f32 rounding past the p<=8 accuracy target
+            # (measured optimum; f64 keeps gaining down to 1e-9)
+            rcond = 3e-5 if dtype == jnp.float32 else 1e-9
+        self._rcond = rcond
+        surf = cube_surface(p)                     # unit cube surface
+        self.n_surf = len(surf)
+        self.p = p
+        self.offsets, self.parity_valid = _vlist_offsets()
+
+        # child corners in MORTON child-index order: with keys built as
+        # spread(x) | spread(y)<<1 | spread(z)<<2, child index
+        # c = x + 2y + 4z (morton.py morton_encode)
+        child_pos = np.array([[c & 1, (c >> 1) & 1, (c >> 2) & 1]
+                              for c in range(8)])
+
+        self.uc2e, self.dc2e = [], []
+        self.m2m, self.l2l, self.m2l = [], [], []
+        self.surf_in, self.surf_out = [], []
+        for lvl in range(depth + 1):
+            side = scale / (1 << lvl)
+            r_in = RAD_IN * side / 2
+            r_out = RAD_OUT * side / 2
+            s_in = surf * r_in                     # equiv-up / check-dn
+            s_out = surf * r_out                   # check-up / equiv-dn
+            self.surf_in.append(s_in)
+            self.surf_out.append(s_out)
+            # upward: equiv surface s_in, check surface s_out
+            e2c_up = _kmat(ker_trans, s_out, s_in)
+            self.uc2e.append(_pinv(e2c_up, rcond))
+            # downward: equiv surface s_out, check surface s_in
+            e2c_dn = _kmat(ker_trans, s_in, s_out)
+            self.dc2e.append(_pinv(e2c_dn, rcond))
+
+        for lvl in range(1, depth + 1):            # child level
+            side_c = scale / (1 << lvl)
+            side_p = 2 * side_c
+            # child center relative to parent center
+            cc = (child_pos - 0.5) * side_c
+            m2m_l, l2l_l = [], []
+            for c in range(8):
+                # child up-equiv -> parent up-check -> parent up-equiv
+                k = _kmat(ker_trans,
+                          surf * (RAD_OUT * side_p / 2),
+                          surf * (RAD_IN * side_c / 2) + cc[c])
+                m2m_l.append(self.uc2e[lvl - 1] @ k)
+                # parent dn-equiv -> child dn-check -> child dn-equiv
+                k2 = _kmat(ker_trans,
+                           surf * (RAD_IN * side_c / 2) + cc[c],
+                           surf * (RAD_OUT * side_p / 2))
+                l2l_l.append(self.dc2e[lvl] @ k2)
+            self.m2m.append(np.stack(m2m_l))       # (8, ns, ns)
+            self.l2l.append(np.stack(l2l_l))
+
+        for lvl in range(depth + 1):               # M2L at each level
+            side = scale / (1 << lvl)
+            mats = []
+            for d in self.offsets:
+                # target box at origin; source box center at +d*side
+                # (the shifted grid q[x+d] puts that source at slot x):
+                # src up-equiv surface -> trg dn-check surface
+                k = _kmat(ker_trans,
+                          surf * (RAD_IN * side / 2),
+                          surf * (RAD_IN * side / 2) + d * side)
+                mats.append(self.dc2e[lvl] @ k)
+            self.m2l.append(np.stack(mats))        # (316, ns, ns)
+
+        # device copies
+        cast = lambda a: jnp.asarray(a, dtype=dtype)
+        self.uc2e_d = [cast(a) for a in self.uc2e]
+        self.dc2e_d = [cast(a) for a in self.dc2e]
+        self.m2m_d = [cast(a) for a in self.m2m]
+        self.l2l_d = [cast(a) for a in self.l2l]
+        self.m2l_d = [cast(a) for a in self.m2l]
+        self.surf_in_d = [cast(a) for a in self.surf_in]
+        self.surf_out_d = [cast(a) for a in self.surf_out]
+        self.ker_s2t = ker_s2t
+        self.ker_trans = ker_trans
+        self.ker_l2t = ker_l2t
+
+
+def _pad_boxes(tree: UniformTree, values: Optional[np.ndarray],
+               cap: int):
+    """Gather per-box padded point/value arrays from the Morton-sorted
+    layout: (n_boxes, cap, k) + mask."""
+    B = tree.n_boxes
+    idx = tree.box_dsp[:-1, None] + np.arange(cap)[None, :]
+    valid = idx < tree.box_dsp[1:, None]
+    idx = np.clip(idx, 0, max(len(tree.X_sorted) - 1, 0))
+    pts = tree.X_sorted[idx]                       # (B, cap, 3)
+    vals = None if values is None else values[tree.perm][idx]
+    return pts, vals, valid
+
+
+class KIFMM:
+    """Uniform-tree KIFMM evaluator for the Laplace kernel family."""
+
+    def __init__(self, ker_s2t: KernelSpec, p: int = 6,
+                 depth: Optional[int] = None,
+                 pts_per_leaf: int = 256,
+                 ker_l2t: Optional[KernelSpec] = None,
+                 dtype=None):
+        import jax
+        self.ker_s2t = ker_s2t
+        self.ker_trans = Laplace3D_FxU
+        self.ker_l2t = ker_l2t or Laplace3D_FxU
+        self.p = p
+        self.pts_per_leaf = pts_per_leaf
+        self.depth = depth
+        self.dtype = dtype or (
+            jnp.float32 if jax.default_backend() in ("tpu", "axon")
+            else jnp.float64)
+        self._ops = None
+
+    # -- setup -----------------------------------------------------------
+    def setup(self, x_src: np.ndarray, x_trg: np.ndarray,
+              n_src: Optional[np.ndarray] = None):
+        x_src = np.asarray(x_src, np.float64)
+        x_trg = np.asarray(x_trg, np.float64)
+        lo = np.minimum(x_src.min(0), x_trg.min(0))
+        hi = np.maximum(x_src.max(0), x_trg.max(0))
+        bbox = (lo, hi)
+        n = len(x_src)
+        if self.depth is None:
+            self.depth = max(2, int(np.round(np.log(
+                max(n / self.pts_per_leaf, 1)) / np.log(8))))
+        L = self.depth
+        self.src_tree = UniformTree(x_src, L, bbox=bbox)
+        self.trg_tree = UniformTree(x_trg, L, bbox=bbox)
+        self.scale = self.src_tree.scale
+        self._ops = KIFMMOperators(self.ker_s2t, self.ker_trans,
+                                   self.ker_l2t, self.p, L, self.scale,
+                                   self.dtype)
+        # padded per-leaf arrays
+        cs = int(self.src_tree.box_cnt.max())
+        ct = int(self.trg_tree.box_cnt.max())
+        self.cap_s = max(8, cs)
+        self.cap_t = max(8, ct)
+        xs_p, ns_p, s_mask = _pad_boxes(
+            self.src_tree, n_src, self.cap_s)
+        xt_p, _, t_mask = _pad_boxes(self.trg_tree, None, self.cap_t)
+        dt = self.dtype
+        self.xs_pad = jnp.asarray(xs_p, dt)
+        self.ns_pad = (jnp.asarray(ns_p, dt) if ns_p is not None
+                       else jnp.zeros_like(self.xs_pad))
+        self.s_mask = jnp.asarray(s_mask)
+        self.xt_pad = jnp.asarray(xt_p, dt)
+        self.t_mask = jnp.asarray(t_mask)
+        ctr = self.src_tree.box_centers()
+        self.ctr = jnp.asarray(ctr, dt)            # (B, 3) leaf centers
+        self.nb = jnp.asarray(self.src_tree.neighbor_boxes(),
+                              dtype=jnp.int32)     # (B, 27)
+        self._perm_q = self.src_tree.perm          # density gather
+        # all device arrays travel as jit ARGUMENTS (a closure would
+        # embed hundreds of MB of constants into the compile payload)
+        ops = self._ops
+        self._data = {
+            "xs_pad": self.xs_pad, "ns_pad": self.ns_pad,
+            "xt_pad": self.xt_pad, "ctr": self.ctr, "nb": self.nb,
+            "uc2e_L": ops.uc2e_d[L],
+            "m2m": tuple(ops.m2m_d),
+            "l2l": tuple(ops.l2l_d),
+            "m2l": tuple(ops.m2l_d),
+            "surf_out_L": ops.surf_out_d[L],
+            "offsets": jnp.asarray(ops.offsets, dtype=jnp.int32),
+            "pvalid": jnp.asarray(ops.parity_valid.T.astype(dt)),
+            "gidx": tuple(jnp.asarray(self._grid_index_np(l))
+                          for l in range(L + 1)),
+            "pgrid": tuple(jnp.asarray(self._parity_grid_np(l))
+                           for l in range(L + 1)),
+        }
+        self._eval_jit = None
+        return self
+
+    # -- density scatter ---------------------------------------------------
+    def _pad_density(self, f):
+        f = np.asarray(f, np.float64).reshape(len(self._perm_q),
+                                              self.ker_s2t.kdim0)
+        cap = self.cap_s
+        tree = self.src_tree
+        idx = tree.box_dsp[:-1, None] + np.arange(cap)[None, :]
+        valid = idx < tree.box_dsp[1:, None]
+        idx = np.clip(idx, 0, len(f) - 1)
+        fp = f[tree.perm][idx] * valid[..., None]
+        return jnp.asarray(fp, self.dtype)         # (B, cap, k0)
+
+    def _unsort_u(self, u_sorted: np.ndarray) -> np.ndarray:
+        out = np.empty_like(u_sorted)
+        out[self.trg_tree.perm] = u_sorted
+        return out
+
+    # -- evaluation ---------------------------------------------------------
+    def eval(self, f, n_src_override=None) -> np.ndarray:
+        """u[trg] = sum_src K(trg, src) f[src] via the tree.  f in
+        ORIGINAL source order; result in ORIGINAL target order."""
+        fp = self._pad_density(f)
+        if self._eval_jit is None:
+            self._eval_jit = jax.jit(self._eval_impl)
+        with profile.Profile.scoped("KIFMM::Eval"):
+            u_pad = self._eval_jit(fp, self._data)
+        profile.add_flops(self._flop_model())
+        u_sorted = np.asarray(
+            u_pad.reshape(-1, self.ker_l2t.kdim1)
+        )[np.asarray(self.t_mask).reshape(-1)]
+        return self._unsort_u(u_sorted)
+
+    def _flop_model(self) -> float:
+        npts = float(len(self._perm_q))
+        return npts * (27 * self.pts_per_leaf * self.ker_s2t.flops
+                       + 2 * self._ops.n_surf * 4)
+
+    def _eval_impl(self, fp, data):
+        ops = self._ops
+        L = self.depth
+        ns = ops.n_surf
+        B = self.src_tree.n_boxes
+        dt = self.dtype
+        hi = lax.Precision.HIGHEST
+        xs_pad, ns_pad = data["xs_pad"], data["ns_pad"]
+        xt_pad, ctr, nb = data["xt_pad"], data["ctr"], data["nb"]
+
+        # ---- S2M: leaf check potentials -> up equivalents ----
+        xck = data["surf_out_L"][None] + ctr[:, None, :]      # (B,ns,3)
+
+        def s2m_box(args):
+            xc, xs, nsrm, fb = args
+            return self.ker_s2t.apply_pairwise(xc, xs, nsrm, fb)
+
+        u_check = lax.map(s2m_box,
+                          (xck, xs_pad, ns_pad, fp),
+                          batch_size=max(1, min(B, 4096)))
+        u_check = u_check[..., 0] * self.ker_s2t.scale_factor
+        q_up = jnp.einsum("mn,bn->bm", data["uc2e_L"], u_check,
+                          precision=hi)            # (B, ns)
+
+        # ---- M2M upward (Morton order is parent-major: 8 consecutive
+        # boxes share one parent) ----
+        q_levels = {L: q_up}
+        for lvl in range(L, 2, -1):
+            qc = q_levels[lvl].reshape(-1, 8, ns)
+            q_levels[lvl - 1] = jnp.einsum(
+                "pcn,cmn->pm", qc, data["m2m"][lvl - 1], precision=hi)
+
+        # ---- M2L at each level: lax.scan over the 316 grid shifts ----
+        v_dn = {}
+        offsets_d = data["offsets"]
+        pvalid_d = data["pvalid"]                        # (316, 8)
+        for lvl in range(2, L + 1):
+            nside = 1 << lvl
+            q_grid = self._to_grid(q_levels[lvl], lvl, data["gidx"][lvl])
+            pad = 3
+            qp = jnp.pad(q_grid, ((pad, pad),) * 3 + ((0, 0),))
+            par = data["pgrid"][lvl]                     # (n,n,n) 0..7
+
+            def m2l_step(acc, blk, qp=qp, par=par, nside=nside):
+                d, mat, pv = blk
+                shifted = lax.dynamic_slice(
+                    qp, (pad + d[0], pad + d[1], pad + d[2],
+                         jnp.int32(0)),
+                    (nside, nside, nside, ns))
+                contrib = jnp.einsum("xyzn,mn->xyzm", shifted, mat,
+                                     precision=hi)
+                return acc + contrib * pv[par][..., None], None
+
+            acc0 = jnp.zeros((nside, nside, nside, ns), dtype=dt)
+            acc, _ = lax.scan(m2l_step, acc0,
+                              (offsets_d, data["m2l"][lvl], pvalid_d))
+            v_dn[lvl] = self._from_grid(acc, lvl,
+                                        data["gidx"][lvl])  # (B_l, ns)
+
+        # ---- downward: L2L (dc2e is folded into the m2l/l2l mats) ----
+        q_dn = v_dn[2]
+        for lvl in range(3, L + 1):
+            qc = jnp.einsum("pn,cmn->pcm", q_dn,
+                            data["l2l"][lvl - 1], precision=hi)
+            q_dn = qc.reshape(-1, ns) + v_dn[lvl]
+
+        # ---- L2T ----
+        xeq = data["surf_out_L"][None] + ctr[:, None, :]      # (B,ns,3)
+
+        def l2t_box(args):
+            xt, xe, qd = args
+            return self.ker_l2t.apply_pairwise(xt, xe, xe,
+                                               qd[:, None])
+
+        u_far = lax.map(l2t_box, (xt_pad, xeq, q_dn),
+                        batch_size=max(1, min(B, 4096)))
+        u_far = u_far * self.ker_l2t.scale_factor        # (B, Ct, k1)
+
+        # ---- P2P near field: lax.scan over the 27 neighbor offsets ----
+        def p2p_step(u_acc, j):
+            nb_idx = nb[:, j]
+            ok = nb_idx >= 0
+            src_idx = jnp.where(ok, nb_idx, 0)
+            xs_n = xs_pad[src_idx]
+            ns_n = ns_pad[src_idx]
+            f_n = fp[src_idx] * ok[:, None, None].astype(dt)
+
+            def p2p_box(args):
+                xt, xs, nrm, fb = args
+                return self.ker_s2t.apply_pairwise(xt, xs, nrm, fb)
+
+            u_j = lax.map(p2p_box, (xt_pad, xs_n, ns_n, f_n),
+                          batch_size=max(1, min(B, 2048)))
+            return u_acc + u_j, None
+
+        u_near, _ = lax.scan(p2p_step, jnp.zeros_like(u_far),
+                             jnp.arange(27))
+        u_near = u_near * self.ker_s2t.scale_factor
+
+        return u_far + u_near
+
+    # -- grid helpers ------------------------------------------------------
+    def _to_grid(self, q, lvl, gidx):
+        """Morton-ordered (B, ns) -> (n, n, n, ns) spatial grid."""
+        nside = 1 << lvl
+        out = jnp.zeros((nside ** 3, q.shape[1]), dtype=q.dtype)
+        return out.at[gidx].set(q).reshape(nside, nside, nside,
+                                           q.shape[1])
+
+    def _from_grid(self, g, lvl, gidx):
+        nside = 1 << lvl
+        return g.reshape(nside ** 3, -1)[gidx]
+
+    @functools.lru_cache(maxsize=None)
+    def _grid_index_np(self, lvl):
+        from ..tree import morton as mtm
+        nside = 1 << lvl
+        keys = (np.arange(nside ** 3, dtype=np.uint64)
+                << np.uint64(3 * (mtm.max_depth(3) - lvl)))
+        b = mtm.box_coords(keys, lvl, 3)                 # (B, 3)
+        return (b[:, 0] * nside + b[:, 1]) * nside + b[:, 2]
+
+    def _grid_index(self, lvl):
+        return jnp.asarray(self._grid_index_np(lvl))
+
+    @functools.lru_cache(maxsize=None)
+    def _parity_grid_np(self, lvl):
+        nside = 1 << lvl
+        x = np.arange(nside) & 1
+        px, py, pz = np.meshgrid(x, x, x, indexing="ij")
+        return ((px * 2 + py) * 2 + pz).astype(np.int32)
+
+    def _parity_grid(self, lvl):
+        return jnp.asarray(self._parity_grid_np(lvl))

@@ -3,6 +3,7 @@ from .lagrange import interpolation_matrix, derivative_matrix
 from .quadrule import cheb_quad_rule, leg_quad_rule, InterpQuadRule
 from .ode import SDC
 from .fft import FFT
+from .sph_harm import SphericalHarmonics, sh_dim
 
 __all__ = [
     "GMRES", "KrylovPrecond", "gmres",

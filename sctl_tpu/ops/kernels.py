@@ -43,11 +43,20 @@ def _rinv(r2):
 
 
 def _pairwise_r2(xt, xs):
-    """(T,S) squared distances via |xt|^2 + |xs|^2 - 2 xt.xs (MXU)."""
-    cross = jnp.dot(xt, xs.T, preferred_element_type=xt.dtype)
-    r2 = (jnp.sum(xt * xt, axis=1)[:, None]
-          + jnp.sum(xs * xs, axis=1)[None, :] - 2.0 * cross)
-    return jnp.maximum(r2, 0.0)  # guard fp cancellation
+    """(T,S) squared distances via explicit differences.
+
+    NOT the |xt|^2+|xs|^2-2xt.xs matmul form: that cancels
+    catastrophically for coincident points (r2 ~ eps*|x|^2 instead of
+    exactly 0), defeating the self-interaction mask — the reference
+    computes dX = xt - xs directly for the same reason
+    (generic-kernel.txx:160).  XLA fuses the broadcasts into the
+    consumer, so no (T,S,3) tensor materializes.
+    """
+    r2 = None
+    for d in range(xt.shape[1]):
+        dx = xt[:, d][:, None] - xs[:, d][None, :]
+        r2 = dx * dx if r2 is None else r2 + dx * dx
+    return r2
 
 
 def _rdot(xt, xs, v):

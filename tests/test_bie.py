@@ -1,0 +1,123 @@
+"""BoundaryIntegralOp tests (reference anchors: the BIE operator pipeline
+boundary_integral.txx; Gauss-identity and Green-representation oracles;
+doc/tutorial/gmres-rsult.txt-style GMRES-on-BIE convergence)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from sctl_tpu.bie import (BoundaryIntegralOp, sphere_patches,
+                          torus_patches)
+from sctl_tpu.ops import (Laplace3D_FxU, Laplace3D_DxU,
+                          direct_eval_blocked)
+from sctl_tpu.linalg import gmres
+
+
+def test_sphere_patch_geometry():
+    lst = sphere_patches(n_per_face=1, q=6)
+    X, Xn, cnt = lst.get_node_coord()
+    assert len(X) == 6 * 36 and cnt.sum() == len(X)
+    np.testing.assert_allclose(np.linalg.norm(X, axis=1), 1.0,
+                               atol=1e-12)
+    # outward normals == radial direction
+    np.testing.assert_allclose(Xn, X, atol=1e-8)
+    Xf, Xnf, wf, df, fcnt = lst.get_far_field_nodes(1e-6)
+    assert abs(wf.sum() - 4 * np.pi) < 1e-6     # total surface area
+    assert (df > 0).all()
+
+
+def test_torus_patch_geometry():
+    R, r = 2.0, 0.5
+    lst = torus_patches(nu=4, nv=2, q=6, R=R, r=r)
+    X, Xn, cnt = lst.get_node_coord()
+    rho = np.sqrt(X[:, 0] ** 2 + X[:, 1] ** 2)
+    np.testing.assert_allclose((rho - R) ** 2 + X[:, 2] ** 2, r ** 2,
+                               atol=1e-10)
+    Xf, Xnf, wf, df, fcnt = lst.get_far_field_nodes(1e-6)
+    assert abs(wf.sum() - 4 * np.pi ** 2 * R * r) < 1e-6
+    # outward normal: points away from the tube center circle
+    ctr = np.stack([X[:, 0] * R / rho, X[:, 1] * R / rho,
+                    np.zeros(len(X))], 1)
+    outward = (X - ctr) / r
+    np.testing.assert_allclose(Xn, outward, atol=1e-7)
+
+
+def test_gauss_identity_off_surface():
+    """DL of constant density: -1 inside, 0 outside (exterior normals,
+    1/4pi scale) — smooth quadrature only (targets are far)."""
+    lst = sphere_patches(n_per_face=1, q=6)
+    op = BoundaryIntegralOp(Laplace3D_DxU)
+    op.set_accuracy(1e-8)
+    op.add_elem_list(lst)
+    op.set_target_coord(np.array([[0.05, 0.02, -0.01],
+                                  [2.0, 1.0, 1.5]]))
+    sigma = np.ones(op.dim(0))
+    u = op.compute_potential(sigma)
+    assert abs(u[0, 0] + 1.0) < 1e-6, u[0, 0]
+    assert abs(u[1, 0]) < 1e-8, u[1, 0]
+
+
+def test_gauss_identity_on_surface():
+    """On-surface principal value: DL[1] = -1/2 — exercises the
+    singular (SelfInterac-equivalent) corrections."""
+    lst = sphere_patches(n_per_face=1, q=6)
+    op = BoundaryIntegralOp(Laplace3D_DxU)
+    op.set_accuracy(1e-6)
+    op.add_elem_list(lst)
+    op.set_target_coord(None)     # targets = surface nodes
+    sigma = np.ones(op.dim(0))
+    u = op.compute_potential(sigma)
+    err = np.abs(u[:, 0] + 0.5).max()
+    assert err < 5e-5, err
+
+
+def test_interior_dirichlet_solve():
+    """2nd-kind interior Dirichlet on the sphere via GMRES over the BIE
+    operator; boundary data from an exterior point charge; interior
+    field must match (the gmres-rsult.txt scenario class)."""
+    lst = sphere_patches(n_per_face=1, q=8)
+    op = BoundaryIntegralOp(Laplace3D_DxU)
+    op.set_accuracy(1e-8)
+    op.add_elem_list(lst)
+    op.set_target_coord(None)
+    op.setup()
+    X, Xn, _ = lst.get_node_coord()
+
+    src = np.array([[1.7, 0.8, 1.2]])
+    q = np.ones((1, 1))
+    bc = np.asarray(direct_eval_blocked(
+        Laplace3D_FxU, jnp.asarray(X), jnp.asarray(src),
+        jnp.asarray(q)))[:, 0]
+
+    def A(sig):
+        u = op.compute_potential(np.asarray(sig))
+        return jnp.asarray(u[:, 0] - 0.5 * np.asarray(sig))
+
+    x, iters = gmres(A, jnp.asarray(bc), tol=1e-8)
+    assert iters < 30, iters
+
+    xt_in = np.array([[0.3, 0.1, -0.2], [0.0, 0.5, 0.0]])
+    op2 = BoundaryIntegralOp(Laplace3D_DxU)
+    op2.set_accuracy(1e-8)
+    op2.add_elem_list(lst)
+    op2.set_target_coord(xt_in)
+    u_in = op2.compute_potential(np.asarray(x))[:, 0]
+    u_exact = np.asarray(direct_eval_blocked(
+        Laplace3D_FxU, jnp.asarray(xt_in), jnp.asarray(src),
+        jnp.asarray(q)))[:, 0]
+    err = np.abs(u_in - u_exact).max() / np.abs(u_exact).max()
+    assert err < 1e-5, err
+
+
+def test_torus_gauss_identity():
+    lst = torus_patches(nu=6, nv=3, q=6, R=2.0, r=0.5)
+    op = BoundaryIntegralOp(Laplace3D_DxU)
+    op.set_accuracy(1e-7)
+    op.add_elem_list(lst)
+    # inside the tube vs far outside
+    op.set_target_coord(np.array([[2.0, 0.0, 0.0],
+                                  [6.0, 0.0, 0.0]]))
+    sigma = np.ones(op.dim(0))
+    u = op.compute_potential(sigma)
+    assert abs(u[0, 0] + 1.0) < 1e-5, u[0, 0]
+    assert abs(u[1, 0]) < 1e-7, u[1, 0]
