@@ -20,11 +20,30 @@ from . import quadmath
 from . import mathutils
 from .containers import Vector, Matrix, Permutation, Tensor
 from .containers import write_array, read_array
+from .profile import Profile
 
 __version__ = "0.1.0"
 
 __all__ = [
-    "config", "quadmath", "mathutils",
+    "config", "quadmath", "mathutils", "Profile",
     "Vector", "Matrix", "Permutation", "Tensor",
     "write_array", "read_array",
 ]
+
+# subpackages (imported lazily by attribute to keep import light):
+#   sctl_tpu.comm    — mesh collectives + distributed data verbs
+#   sctl_tpu.ops     — kernel library, direct eval, Pallas P2P
+#   sctl_tpu.linalg  — GMRES/KrylovPrecond, SDC, quadrature, FFT, SH
+#   sctl_tpu.tree    — Morton, PtTree/UniformTree, VTU output
+#   sctl_tpu.fmm     — ParticleFMM facade + KIFMM engine
+#   sctl_tpu.bie     — BoundaryIntegralOp + parametric patches
+#   sctl_tpu.utils   — par primitives, debug tools
+#   sctl_tpu.native  — C++ host runtime (Morton, radix sort)
+
+
+def __getattr__(name):
+    import importlib
+    if name in ("comm", "ops", "linalg", "tree", "fmm", "bie", "utils",
+                "native"):
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(name)

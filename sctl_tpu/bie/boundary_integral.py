@@ -43,31 +43,14 @@ from ..ops.kernels import KernelSpec
 
 
 def host_kernel_matrix(kernel: KernelSpec, xt, xs, ns=None) -> np.ndarray:
-    """(Ns*k0, Nt*k1) kernel matrix evaluated ON HOST (CPU backend).
+    """(Ns*k0, Nt*k1) kernel matrix evaluated ON HOST (pure numpy).
 
     Setup-time quadrature makes thousands of small kernel evaluations;
     dispatching each through a (possibly remote) accelerator would
-    dominate setup.  Pins the computation to the CPU backend.
-    """
-    import jax
-    try:
-        cpu = jax.local_devices(backend="cpu")[0]
-    except RuntimeError:
-        cpu = None
-    ctx = jax.default_device(cpu) if cpu is not None else _nullctx()
-    with ctx:
-        m = kernel.full_matrix(
-            jnp.asarray(xt), jnp.asarray(xs),
-            None if ns is None else jnp.asarray(ns))
-        return np.asarray(m)
-
-
-class _nullctx:
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *a):
-        return False
+    dominate setup (ops/kernels_np.py mirrors the kernel library)."""
+    from ..ops.kernels_np import full_matrix_np
+    return full_matrix_np(kernel, np.asarray(xt), np.asarray(xs),
+                          None if ns is None else np.asarray(ns))
 
 
 class ElementListBase(abc.ABC):

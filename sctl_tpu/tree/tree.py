@@ -63,8 +63,14 @@ class UniformTree:
         keys = mt.morton_encode(X01, dim=dim)
         self.box_of_point = (keys >> np.uint64(
             dim * (D - depth))).astype(np.int64)
-        self.perm = np.argsort(self.box_of_point, kind="stable")
-        self.box_sorted = self.box_of_point[self.perm]
+        key_bits = dim * depth
+        if key_bits <= 24:
+            from .. import native
+            self.box_sorted, self.perm = native.argsort_small(
+                self.box_of_point, key_bits)
+        else:
+            self.perm = np.argsort(self.box_of_point, kind="stable")
+            self.box_sorted = self.box_of_point[self.perm]
         # dense per-box offsets: points of box b are
         # perm[box_dsp[b] : box_dsp[b+1]] in sorted order
         self.box_dsp = np.searchsorted(self.box_sorted,

@@ -1,0 +1,83 @@
+"""par/debug/vtu/native tests (reference anchors: ompUtils primitives,
+MEMDEBUG behavior of src/test.cpp, VTUData::test)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sctl_tpu
+from sctl_tpu.utils import merge, merge_sort, reduce, scan, debug
+
+
+def test_par_primitives():
+    a = jnp.sort(jnp.asarray(np.random.default_rng(0).normal(size=20)))
+    b = jnp.sort(jnp.asarray(np.random.default_rng(1).normal(size=30)))
+    m = merge(a, b)
+    np.testing.assert_array_equal(
+        np.asarray(m), np.sort(np.concatenate([np.asarray(a),
+                                               np.asarray(b)])))
+    k = jnp.asarray([3.0, 1.0, 2.0])
+    v = jnp.asarray([30.0, 10.0, 20.0])
+    ks, vs = merge_sort(v, keys=k)
+    np.testing.assert_array_equal(np.asarray(vs), [10.0, 20.0, 30.0])
+    assert float(reduce(jnp.arange(5.0))) == 10.0
+    np.testing.assert_array_equal(
+        np.asarray(scan(jnp.arange(1.0, 5.0))), [0, 1, 3, 6])
+    np.testing.assert_array_equal(
+        np.asarray(scan(jnp.arange(1.0, 5.0), exclusive=False)),
+        [1, 3, 6, 10])
+
+
+def test_debug_guard():
+    sctl_tpu.config.debug = True
+    try:
+        @debug.guard
+        def f(x):
+            return x * 2
+
+        f(jnp.ones(3))  # fine
+        with pytest.raises(FloatingPointError):
+            f(jnp.asarray([1.0, np.nan]))
+    finally:
+        sctl_tpu.config.debug = False
+
+
+def test_vtu_roundtrip(tmp_path):
+    from sctl_tpu.tree.vtu import VTUData, write_particle_vtk, \
+        write_tree_vtk
+    from sctl_tpu.tree import PtTree
+    rng = np.random.default_rng(0)
+    X = rng.random((100, 3))
+    p = str(tmp_path / "pts")
+    write_particle_vtk(p, X, values=rng.normal(size=100))
+    content = open(p + ".vtu").read()
+    assert "UnstructuredGrid" in content and "value" in content
+
+    tree = PtTree(dim=3).update_refinement(X, max_pts=20)
+    pt = str(tmp_path / "tree")
+    write_tree_vtk(pt, tree)
+    assert "Float32" in open(pt + ".vtu").read()
+
+    VTUData.write_pvtu(str(tmp_path / "master"), 4,
+                       point_fields=[("value", 1)])
+    assert "master_0003.vtu" in open(
+        str(tmp_path / "master.pvtu")).read()
+
+
+def test_native_sort_fallback_consistency():
+    from sctl_tpu import native
+    rng = np.random.default_rng(2)
+    ids = rng.integers(0, 1 << 12, size=5000).astype(np.int64)
+    s, p = native.argsort_small(ids, 12)
+    assert (np.diff(s) >= 0).all()
+    np.testing.assert_array_equal(ids[p], s)
+    # stability: equal keys keep input order
+    for val in np.unique(ids[:50]):
+        np.testing.assert_array_equal(np.sort(p[s == val]),
+                                      np.where(ids == val)[0])
+    k = rng.integers(0, 2 ** 60, size=3000, dtype=np.uint64)
+    ks, kp = native.argsort_u64(k)
+    np.testing.assert_array_equal(k[kp], ks)
+    assert (np.diff(ks.astype(object)) >= 0).all()
