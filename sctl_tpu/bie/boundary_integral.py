@@ -120,6 +120,10 @@ class BoundaryIntegralOp:
         self.elem_lists: List[ElementListBase] = []
         self.Xt: Optional[np.ndarray] = None
         self._setup_done = False
+        # far-field switches to the tree FMM above this many quadrature
+        # nodes (reference cutoff: fmm-wrapper.txx:798); settable.
+        from ..fmm.fmm import DIRECT_CUTOFF
+        self.far_fmm_cutoff = DIRECT_CUTOFF
 
     def set_accuracy(self, tol: float):
         self.tol = tol
@@ -174,6 +178,19 @@ class BoundaryIntegralOp:
             self.Xt_eff = self.X
         else:
             self.Xt_eff = self.Xt
+
+        # far-field evaluator: tree FMM above the direct cutoff
+        # (reference: ComputeFarField -> fmm.Eval, boundary_integral.
+        # txx:1016; PVFMM cutoff fmm-wrapper.txx:798)
+        self._far_fmm = None
+        from ..fmm.fmm import _TREE_L2T
+        if (len(self.Xf) >= self.far_fmm_cutoff
+                and self.kernel.name in _TREE_L2T):
+            from ..fmm import KIFMM
+            self._far_fmm = KIFMM(
+                self.kernel,
+                ker_l2t=_TREE_L2T[self.kernel.name]).setup(
+                self.Xf, self.Xt_eff, n_src=self.Xnf)
 
         # SetupNear: near pairs (target, element) where the target is
         # closer than dist_far to any far-field node of the element
@@ -241,10 +258,13 @@ class BoundaryIntegralOp:
                 off_e += ne
             F_far = np.concatenate(parts)
             Ff = F_far * self.wf[:, None]
-            U = np.array(direct_eval_blocked(
-                ker, jnp.asarray(self.Xt_eff), jnp.asarray(self.Xf),
-                jnp.asarray(Ff), ns=jnp.asarray(self.Xnf),
-                block_t=1024, block_s=1024))     # writable copy
+            if self._far_fmm is not None:
+                U = np.array(self._far_fmm.eval(Ff))
+            else:
+                U = np.array(direct_eval_blocked(
+                    ker, jnp.asarray(self.Xt_eff), jnp.asarray(self.Xf),
+                    jnp.asarray(Ff), ns=jnp.asarray(self.Xnf),
+                    block_t=1024, block_s=1024))  # writable copy
             # near corrections
             for (ti, e), mat in zip(self.near_pairs, self._near_mats):
                 li, le = self._elem_of[e]

@@ -23,16 +23,22 @@ from jax.sharding import PartitionSpec as P
 from .. import profile
 from ..comm.comm import Comm
 from ..ops.direct import direct_eval_blocked
-from ..ops.kernels import KernelSpec, Laplace3D_FxU, Laplace3D_FxdU
+from ..ops.kernels import (KernelSpec, Laplace3D_FxU, Laplace3D_FxdU,
+                           Stokes3D_FSxU)
 from .kifmm import KIFMM
 
 DIRECT_CUTOFF = 40_000   # below this, direct eval (fmm-wrapper.txx:798)
 
-# kernels with a native tree path and their L2T companion
+# kernels with a native tree path and their L2T companion (the
+# translation set is chosen inside KIFMM: Laplace monopoles or Stokes
+# Stokeslet+source FSxU, cf. kernel_functions.hpp:213)
 _TREE_L2T = {
     "Laplace3D-FxU": Laplace3D_FxU,
     "Laplace3D-DxU": Laplace3D_FxU,
     "Laplace3D-FxdU": Laplace3D_FxdU,
+    "Stokes3D-FxU": Stokes3D_FSxU,
+    "Stokes3D-DxU": Stokes3D_FSxU,
+    "Stokes3D-FSxU": Stokes3D_FSxU,
 }
 
 

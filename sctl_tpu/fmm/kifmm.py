@@ -61,24 +61,11 @@ def _kmat(ker: KernelSpec, xt: np.ndarray, xs: np.ndarray,
           ns: Optional[np.ndarray] = None) -> np.ndarray:
     """(Nt*k1, Ns*k0) host kernel matrix u = M @ f (incl. scale).
 
-    Pure numpy: the precompute makes hundreds of small matrix builds,
-    and device dispatches (esp. through a remote TPU tunnel) would
-    dominate setup time.  Only the translation kernels are needed here
-    (Laplace family); others raise.
+    Pure numpy (ops/kernels_np.py): the precompute makes hundreds of
+    small matrix builds; device dispatches would dominate setup time.
     """
-    d = xt[:, None, :] - xs[None, :, :]
-    r2 = (d * d).sum(-1)
-    rinv = np.where(r2 > 0, 1.0 / np.sqrt(np.where(r2 > 0, r2, 1)), 0.0)
-    if ker.name == "Laplace3D-FxU":
-        return rinv * ker.scale_factor             # (Nt, Ns), k0=k1=1
-    if ker.name == "Laplace3D-FxdU":
-        g = d * (rinv ** 3)[..., None] * ker.scale_factor
-        # (Nt*3, Ns): u[t,comp] rows interleaved target-major
-        return g.transpose(0, 2, 1).reshape(xt.shape[0] * 3,
-                                            xs.shape[0])
-    raise NotImplementedError(
-        f"host kernel matrix for {ker.name} (translation kernels are "
-        f"Laplace family)")
+    from ..ops.kernels_np import full_matrix_np
+    return full_matrix_np(ker, xt, xs, ns).T
 
 
 def _pinv(a: np.ndarray, rcond: float = 1e-9) -> np.ndarray:
@@ -191,6 +178,12 @@ class KIFMMOperators:
         self.ker_s2t = ker_s2t
         self.ker_trans = ker_trans
         self.ker_l2t = ker_l2t
+        # translation degrees of freedom per surface point: equivalent
+        # densities carry k0t dof, check potentials k1t (e.g. Stokes
+        # FSxU: 4 -> 3, the reference's reason for shipping FSxU,
+        # kernel_functions.hpp:213)
+        self.k0t = ker_trans.kdim0
+        self.k1t = ker_trans.kdim1
 
 
 def _pad_boxes(tree: UniformTree, values: Optional[np.ndarray],
@@ -215,9 +208,14 @@ class KIFMM:
                  ker_l2t: Optional[KernelSpec] = None,
                  dtype=None):
         import jax
+        from ..ops.kernels import Stokes3D_FSxU
         self.ker_s2t = ker_s2t
-        self.ker_trans = Laplace3D_FxU
-        self.ker_l2t = ker_l2t or Laplace3D_FxU
+        if ker_s2t.name.startswith("Stokes"):
+            self.ker_trans = Stokes3D_FSxU
+            self.ker_l2t = ker_l2t or Stokes3D_FSxU
+        else:
+            self.ker_trans = Laplace3D_FxU
+            self.ker_l2t = ker_l2t or Laplace3D_FxU
         self.p = p
         self.pts_per_leaf = pts_per_leaf
         self.depth = depth
@@ -278,6 +276,7 @@ class KIFMM:
             "surf_out_L": ops.surf_out_d[L],
             "offsets": jnp.asarray(ops.offsets, dtype=jnp.int32),
             "pvalid": jnp.asarray(ops.parity_valid.T.astype(dt)),
+            **self._parity_tables(ops),
             "gidx": tuple(jnp.asarray(self._grid_index_np(l))
                           for l in range(L + 1)),
             "pgrid": tuple(jnp.asarray(self._parity_grid_np(l))
@@ -285,6 +284,28 @@ class KIFMM:
         }
         self._eval_jit = None
         return self
+
+    @staticmethod
+    def _parity_tables(ops):
+        """Per-parity V-list tables for the factored-grid M2L: for child
+        parity c (index 4x+2y+z) the 189 valid offsets d, decomposed as
+        c + d = 2*eb + ep."""
+        vidx, ebs, eps = [], [], []
+        for c in range(8):
+            cvec = np.array([(c >> 2) & 1, (c >> 1) & 1, c & 1])
+            oi = np.where(ops.parity_valid[c])[0]
+            assert len(oi) == 189, len(oi)
+            e = cvec[None, :] + ops.offsets[oi]
+            eb = np.floor_divide(e, 2)
+            ep = e - 2 * eb
+            vidx.append(oi)
+            ebs.append(eb)
+            eps.append(ep)
+        return {
+            "m2l_vidx": jnp.asarray(np.stack(vidx), dtype=jnp.int32),
+            "m2l_ebs": jnp.asarray(np.stack(ebs), dtype=jnp.int32),
+            "m2l_eps": jnp.asarray(np.stack(eps), dtype=jnp.int32),
+        }
 
     # -- density scatter ---------------------------------------------------
     def _pad_density(self, f):
@@ -326,7 +347,7 @@ class KIFMM:
     def _eval_impl(self, fp, data):
         ops = self._ops
         L = self.depth
-        ns = ops.n_surf
+        ns = ops.n_surf * ops.k0t      # equivalent-density dof per box
         B = self.src_tree.n_boxes
         dt = self.dtype
         hi = lax.Precision.HIGHEST
@@ -343,7 +364,8 @@ class KIFMM:
         u_check = lax.map(s2m_box,
                           (xck, xs_pad, ns_pad, fp),
                           batch_size=max(1, min(B, 4096)))
-        u_check = u_check[..., 0] * self.ker_s2t.scale_factor
+        # (B, n_surf, k1t) -> (B, n_surf*k1t), target-major like _kmat
+        u_check = u_check.reshape(B, -1) * self.ker_s2t.scale_factor
         q_up = jnp.einsum("mn,bn->bm", data["uc2e_L"], u_check,
                           precision=hi)            # (B, ns)
 
@@ -355,31 +377,42 @@ class KIFMM:
             q_levels[lvl - 1] = jnp.einsum(
                 "pcn,cmn->pm", qc, data["m2m"][lvl - 1], precision=hi)
 
-        # ---- M2L at each level: lax.scan over the 316 grid shifts ----
+        # ---- M2L at each level: per-parity subgrid scans ----
+        # Each child parity c has exactly 189 valid V-list offsets.
+        # Factor the grid as (n/2, 2, n/2, 2, n/2, 2, ns) so the source
+        # position 2y + c + d decomposes into an unstrided block shift
+        # eb = (c+d)//2 plus a parity pick ep = (c+d)&1 — no masking,
+        # 189/316 of the flops and memory traffic of the naive sweep.
         v_dn = {}
-        offsets_d = data["offsets"]
-        pvalid_d = data["pvalid"]                        # (316, 8)
         for lvl in range(2, L + 1):
             nside = 1 << lvl
+            h = nside // 2
             q_grid = self._to_grid(q_levels[lvl], lvl, data["gidx"][lvl])
-            pad = 3
-            qp = jnp.pad(q_grid, ((pad, pad),) * 3 + ((0, 0),))
-            par = data["pgrid"][lvl]                     # (n,n,n) 0..7
+            qr = q_grid.reshape(h, 2, h, 2, h, 2, ns)
+            qrp = jnp.pad(qr, ((2, 2), (0, 0), (2, 2), (0, 0),
+                               (2, 2), (0, 0), (0, 0)))
+            out = jnp.zeros((h, 2, h, 2, h, 2, ns), dtype=dt)
+            for c in range(8):
+                ebs = data["m2l_ebs"][c]                # (189, 3)
+                eps = data["m2l_eps"][c]                # (189, 3)
+                mats = data["m2l"][lvl][data["m2l_vidx"][c]]
 
-            def m2l_step(acc, blk, qp=qp, par=par, nside=nside):
-                d, mat, pv = blk
-                shifted = lax.dynamic_slice(
-                    qp, (pad + d[0], pad + d[1], pad + d[2],
-                         jnp.int32(0)),
-                    (nside, nside, nside, ns))
-                contrib = jnp.einsum("xyzn,mn->xyzm", shifted, mat,
-                                     precision=hi)
-                return acc + contrib * pv[par][..., None], None
+                def m2l_step(acc, blk, qrp=qrp, h=h):
+                    eb, ep, mat = blk
+                    sl = lax.dynamic_slice(
+                        qrp, (2 + eb[0], ep[0], 2 + eb[1], ep[1],
+                              2 + eb[2], ep[2], jnp.int32(0)),
+                        (h, 1, h, 1, h, 1, ns))
+                    sl = sl.reshape(h, h, h, ns)
+                    return acc + jnp.einsum("xyzn,mn->xyzm", sl, mat,
+                                            precision=hi), None
 
-            acc0 = jnp.zeros((nside, nside, nside, ns), dtype=dt)
-            acc, _ = lax.scan(m2l_step, acc0,
-                              (offsets_d, data["m2l"][lvl], pvalid_d))
-            v_dn[lvl] = self._from_grid(acc, lvl,
+                acc0 = jnp.zeros((h, h, h, ns), dtype=dt)
+                acc, _ = lax.scan(m2l_step, acc0, (ebs, eps, mats))
+                out = out.at[:, c >> 2 & 1, :, c >> 1 & 1, :,
+                             c & 1].set(acc)
+            acc_full = out.reshape(nside, nside, nside, ns)
+            v_dn[lvl] = self._from_grid(acc_full, lvl,
                                         data["gidx"][lvl])  # (B_l, ns)
 
         # ---- downward: L2L (dc2e is folded into the m2l/l2l mats) ----
@@ -392,10 +425,12 @@ class KIFMM:
         # ---- L2T ----
         xeq = data["surf_out_L"][None] + ctr[:, None, :]      # (B,ns,3)
 
+        k0_l2t = self.ker_l2t.kdim0
+
         def l2t_box(args):
             xt, xe, qd = args
-            return self.ker_l2t.apply_pairwise(xt, xe, xe,
-                                               qd[:, None])
+            return self.ker_l2t.apply_pairwise(
+                xt, xe, xe, qd.reshape(-1, k0_l2t))
 
         u_far = lax.map(l2t_box, (xt_pad, xeq, q_dn),
                         batch_size=max(1, min(B, 4096)))

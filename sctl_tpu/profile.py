@@ -189,6 +189,18 @@ class Profile:
         return report
 
     @staticmethod
+    def xla_cost(jitted_fn, *args) -> dict:
+        """Static FLOP/byte estimates from the compiled HLO — feeds the
+        same f / f/s reporting the reference derives from per-kernel
+        FLOP models (profile.txx:266-267)."""
+        compiled = jitted_fn.lower(*args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0] if ca else {}
+        return {"flops": ca.get("flops", 0.0),
+                "bytes": ca.get("bytes accessed", 0.0)}
+
+    @staticmethod
     @contextlib.contextmanager
     def device_trace(logdir: str):
         """Capture an XLA device trace around a block (jax.profiler)."""

@@ -121,3 +121,45 @@ def test_torus_gauss_identity():
     u = op.compute_potential(sigma)
     assert abs(u[0, 0] + 1.0) < 1e-5, u[0, 0]
     assert abs(u[1, 0]) < 1e-7, u[1, 0]
+
+
+def test_bie_fmm_far_field():
+    """BIE far field through the tree FMM (reference: ComputeFarField
+    -> fmm.Eval, boundary_integral.txx:1016): same answer as the
+    direct far-field path within FMM accuracy."""
+    lst = sphere_patches(n_per_face=1, q=6)
+    src = np.array([[1.7, 0.8, 1.2]])
+    q = np.ones((1, 1))
+    targets = np.array([[0.3, 0.1, -0.2], [0.0, 0.5, 0.0]])
+
+    def solve_interior(fmm_cutoff):
+        op = BoundaryIntegralOp(Laplace3D_DxU)
+        op.set_accuracy(1e-7)
+        op.far_fmm_cutoff = fmm_cutoff
+        op.add_elem_list(lst)
+        op.set_target_coord(None)
+        op.setup()
+        X, _, _ = lst.get_node_coord()
+        bc = np.asarray(direct_eval_blocked(
+            Laplace3D_FxU, jnp.asarray(X), jnp.asarray(src),
+            jnp.asarray(q)))[:, 0]
+        A = lambda s: jnp.asarray(op.compute_potential(
+            np.asarray(s))[:, 0] - 0.5 * np.asarray(s))
+        x, iters = gmres(A, jnp.asarray(bc), tol=1e-7)
+        op2 = BoundaryIntegralOp(Laplace3D_DxU)
+        op2.set_accuracy(1e-7)
+        op2.far_fmm_cutoff = fmm_cutoff
+        op2.add_elem_list(lst)
+        op2.set_target_coord(targets)
+        return op2.compute_potential(np.asarray(x))[:, 0], iters, op
+
+    u_direct, it1, _ = solve_interior(fmm_cutoff=10 ** 9)
+    u_fmm, it2, op_fmm = solve_interior(fmm_cutoff=100)
+    assert op_fmm._far_fmm is not None      # tree path actually used
+    u_exact = np.asarray(direct_eval_blocked(
+        Laplace3D_FxU, jnp.asarray(targets), jnp.asarray(src),
+        jnp.asarray(q)))[:, 0]
+    err_d = np.abs(u_direct - u_exact).max() / np.abs(u_exact).max()
+    err_f = np.abs(u_fmm - u_exact).max() / np.abs(u_exact).max()
+    assert err_d < 2e-4, err_d               # q=6 / tol=1e-7 setup
+    assert err_f < 5e-4, err_f               # + p=6 FMM error

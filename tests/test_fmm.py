@@ -133,3 +133,28 @@ def test_eval_direct_ring(mesh8):
         jnp.asarray(f)))
     np.testing.assert_allclose(np.asarray(u), u_ref, rtol=1e-10,
                                atol=1e-12)
+
+
+def test_kifmm_stokes():
+    """Stokes Stokeslet through the tree: FSxU translation set
+    (reference: kernel_functions.hpp:213 — FSxU 'required for FMM
+    translations involving double-layer')."""
+    from sctl_tpu.ops import Stokes3D_FxU, Stokes3D_DxU
+    n = 3000
+    xs = RNG.random((n, 3))
+    xt = RNG.random((n, 3))
+    f = RNG.normal(size=(n, 3))
+    kif = KIFMM(Stokes3D_FxU, p=4, depth=3).setup(xs, xt)
+    u = kif.eval(f)
+    u_ref = np.asarray(direct_eval_blocked(
+        Stokes3D_FxU, jnp.asarray(xt), jnp.asarray(xs), jnp.asarray(f)))
+    assert rel_err(u, u_ref) < 1e-2, rel_err(u, u_ref)
+
+    nrm = RNG.normal(size=(n, 3))
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    kif2 = KIFMM(Stokes3D_DxU, p=4, depth=3).setup(xs, xt, n_src=nrm)
+    u2 = kif2.eval(f)
+    u2_ref = np.asarray(direct_eval_blocked(
+        Stokes3D_DxU, jnp.asarray(xt), jnp.asarray(xs),
+        jnp.asarray(f), ns=jnp.asarray(nrm)))
+    assert rel_err(u2, u2_ref) < 5e-3, rel_err(u2, u2_ref)
