@@ -82,6 +82,18 @@ class ElementListBase(abc.ABC):
         """(n_nodes_e, n_far_e) interpolation matrix of one element
         (reference: FarFieldDensityOperatorTranspose)."""
 
+    def node_weights(self) -> np.ndarray:
+        """(N,) surface-quadrature weight of each discretization node
+        (for SqrtScaling); default: lump far-field weights through the
+        density-interpolation transpose."""
+        _, _, wf, _, fcnt = self.get_far_field_nodes(1e-8)
+        fdsp = np.concatenate([[0], np.cumsum(fcnt)])
+        out = []
+        for e in range(self.size()):
+            interp = self.far_field_density_matrix(e)  # (n_e, nf_e)
+            out.append(interp @ wf[fdsp[e]:fdsp[e + 1]])
+        return np.concatenate(out)
+
     @abc.abstractmethod
     def near_interac(self, kernel: KernelSpec, xt: np.ndarray,
                      elem: int, tol: float) -> np.ndarray:
@@ -145,6 +157,23 @@ class BoundaryIntegralOp:
             return n_nodes * self.kernel.kdim0
         nt = (self.Xt.shape[0] if self.Xt is not None else n_nodes)
         return nt * self.kernel.kdim1
+
+    # -- row scalings (reference: SqrtScaling/InvSqrtScaling,
+    # boundary_integral.txx:616,648): multiply nodal vectors by
+    # sqrt(w)/1/sqrt(w) to symmetrize first-kind operators for GMRES --
+    def _node_w(self):
+        if getattr(self, "_node_w_cache", None) is None:
+            self._node_w_cache = np.concatenate(
+                [lst.node_weights() for lst in self.elem_lists])
+        return self._node_w_cache
+
+    def sqrt_scaling(self, v):
+        w = np.sqrt(np.abs(self._node_w()))
+        return np.asarray(v).reshape(len(w), -1) * w[:, None]
+
+    def inv_sqrt_scaling(self, v):
+        w = np.sqrt(np.abs(self._node_w()))
+        return np.asarray(v).reshape(len(w), -1) / w[:, None]
 
     # -- setup (reference: boundary_integral.txx:591-598) -----------------
     def setup(self):

@@ -36,10 +36,14 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _rinv(r2):
+def _rinv(r2, mask=None):
     """Masked reciprocal sqrt: 0 where r2==0 (reference: approx_rsqrt
-    with mask r2>0, vec.txx:357-370)."""
-    return jnp.where(r2 > 0, lax.rsqrt(jnp.where(r2 > 0, r2, 1.0)), 0.0)
+    with mask r2>0, vec.txx:357-370).  An optional per-pair `mask`
+    multiplies in: every kernel term carries a power of rinv, so
+    masking rinv masks the whole interaction (used for adjacency-
+    restricted pair sets)."""
+    out = jnp.where(r2 > 0, lax.rsqrt(jnp.where(r2 > 0, r2, 1.0)), 0.0)
+    return out if mask is None else out * mask
 
 
 def _pairwise_r2(xt, xs):
@@ -89,8 +93,8 @@ class KernelSpec:
         placement in generic-kernel.txx:182-188)."""
         return self.matrix_fn(dx, n)
 
-    def apply_pairwise(self, xt, xs, ns, f):
-        return self.apply_fn(xt, xs, ns, f)
+    def apply_pairwise(self, xt, xs, ns, f, mask=None):
+        return self.apply_fn(xt, xs, ns, f, mask)
 
     def full_matrix(self, xt, xs, ns=None):
         """Dense (S*kdim0, T*kdim1) kernel matrix INCLUDING scale factor
@@ -112,9 +116,10 @@ def _lap_fxu_matrix(dx, n):
     return _rinv(r2)[..., None, None]
 
 
-def _lap_fxu_apply(xt, xs, ns, f):
+def _lap_fxu_apply(xt, xs, ns, f, mask=None):
     r2 = _pairwise_r2(xt, xs)
-    return jnp.dot(_rinv(r2), f, preferred_element_type=f.dtype)
+    return jnp.dot(_rinv(r2, mask), f,
+                   preferred_element_type=f.dtype)
 
 
 def _lap_dxu_matrix(dx, n):
@@ -124,9 +129,9 @@ def _lap_dxu_matrix(dx, n):
     return (rdotn * rinv * rinv * rinv)[..., None, None]
 
 
-def _lap_dxu_apply(xt, xs, ns, f):
+def _lap_dxu_apply(xt, xs, ns, f, mask=None):
     r2 = _pairwise_r2(xt, xs)
-    rinv = _rinv(r2)
+    rinv = _rinv(r2, mask)
     rdotn = _rdot(xt, xs, ns)
     return jnp.dot(rdotn * rinv * rinv * rinv, f,
                    preferred_element_type=f.dtype)
@@ -139,10 +144,10 @@ def _lap_fxdu_matrix(dx, n):
     return (dx * rinv3)[..., None, :]                   # (...,1,3)
 
 
-def _lap_fxdu_apply(xt, xs, ns, f):
+def _lap_fxdu_apply(xt, xs, ns, f, mask=None):
     # out_i = sum_s r_i rinv3 f_s = xt_i*(rinv3@f) - rinv3@(xs_i*f)
     r2 = _pairwise_r2(xt, xs)
-    rinv = _rinv(r2)
+    rinv = _rinv(r2, mask)
     rinv3 = rinv * rinv * rinv
     B = jnp.concatenate([f, xs * f], axis=1)            # (S,4)
     H = jnp.dot(rinv3, B, preferred_element_type=f.dtype)  # (T,4)
@@ -171,9 +176,9 @@ def _stk_fxu_terms(xt, xs, f, rinv, rinv3):
     return term1 + xt * H[:, :1] - H[:, 1:4]
 
 
-def _stk_fxu_apply(xt, xs, ns, f):
+def _stk_fxu_apply(xt, xs, ns, f, mask=None):
     r2 = _pairwise_r2(xt, xs)
-    rinv = _rinv(r2)
+    rinv = _rinv(r2, mask)
     return _stk_fxu_terms(xt, xs, f, rinv, rinv * rinv * rinv)
 
 
@@ -187,10 +192,10 @@ def _stk_dxu_matrix(dx, n):
     return dx[..., :, None] * dx[..., None, :] * s
 
 
-def _stk_dxu_apply(xt, xs, ns, f):
+def _stk_dxu_apply(xt, xs, ns, f, mask=None):
     # out_j = sum_s r_j (r.f)(r.n) rinv5
     r2 = _pairwise_r2(xt, xs)
-    rinv = _rinv(r2)
+    rinv = _rinv(r2, mask)
     rinv2 = rinv * rinv
     D = _rdot(xt, xs, f) * _rdot(xt, xs, ns) * (rinv2 * rinv2 * rinv)
     B = jnp.concatenate([jnp.ones_like(xs[:, :1]), xs], axis=1)
@@ -208,10 +213,10 @@ def _stk_fxt_matrix(dx, n):
     return rr.reshape(rr.shape[:-3] + (3, 9))
 
 
-def _stk_fxt_apply(xt, xs, ns, f):
+def _stk_fxt_apply(xt, xs, ns, f, mask=None):
     # out_{jk} = sum_s (r.f) rinv5 r_j r_k ; expand r_j r_k into moments
     r2 = _pairwise_r2(xt, xs)
-    rinv = _rinv(r2)
+    rinv = _rinv(r2, mask)
     rinv2 = rinv * rinv
     E = _rdot(xt, xs, f) * (rinv2 * rinv2 * rinv)        # (T,S)
     ones = jnp.ones_like(xs[:, :1])
@@ -234,9 +239,9 @@ def _stk_fsxu_matrix(dx, n):
     return jnp.concatenate([stk, src], axis=-2)          # (...,4,3)
 
 
-def _stk_fsxu_apply(xt, xs, ns, f):
+def _stk_fsxu_apply(xt, xs, ns, f, mask=None):
     r2 = _pairwise_r2(xt, xs)
-    rinv = _rinv(r2)
+    rinv = _rinv(r2, mask)
     rinv3 = rinv * rinv * rinv
     u = _stk_fxu_terms(xt, xs, f[:, :3], rinv, rinv3)
     # source/sink: u_j += sum_s r_j rinv3 q_s
@@ -255,9 +260,9 @@ def _stk_fxup_matrix(dx, n):
     return jnp.concatenate([stk, p], axis=-1)            # (...,3,4)
 
 
-def _stk_fxup_apply(xt, xs, ns, f):
+def _stk_fxup_apply(xt, xs, ns, f, mask=None):
     r2 = _pairwise_r2(xt, xs)
-    rinv = _rinv(r2)
+    rinv = _rinv(r2, mask)
     rinv3 = rinv * rinv * rinv
     u = _stk_fxu_terms(xt, xs, f, rinv, rinv3)
     # pressure: p = sum_s (r.f) rinv3

@@ -163,3 +163,16 @@ def test_bie_fmm_far_field():
     err_f = np.abs(u_fmm - u_exact).max() / np.abs(u_exact).max()
     assert err_d < 2e-4, err_d               # q=6 / tol=1e-7 setup
     assert err_f < 5e-4, err_f               # + p=6 FMM error
+
+
+def test_sqrt_scaling():
+    """SqrtScaling/InvSqrtScaling roundtrip and weight consistency
+    (reference: boundary_integral.txx:616,648)."""
+    lst = sphere_patches(n_per_face=1, q=6)
+    op = BoundaryIntegralOp(Laplace3D_DxU)
+    op.add_elem_list(lst)
+    w = lst.node_weights()
+    assert abs(w.sum() - 4 * np.pi) < 1e-6     # weights tile the sphere
+    v = np.random.default_rng(0).normal(size=op.dim(0))
+    np.testing.assert_allclose(
+        op.inv_sqrt_scaling(op.sqrt_scaling(v))[:, 0], v, atol=1e-12)
