@@ -273,9 +273,11 @@ class KIFMM:
         self.p = p
         self.pts_per_leaf = pts_per_leaf
         self.depth = depth
+        x64 = jax.config.jax_enable_x64
         self.dtype = dtype or (
-            jnp.float32 if jax.default_backend() in ("tpu", "axon")
-            else jnp.float64)
+            jnp.float64 if (x64 and jax.default_backend()
+                            not in ("tpu", "axon"))
+            else jnp.float32)
         self._ops = None
 
     # -- setup -----------------------------------------------------------

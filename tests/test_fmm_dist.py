@@ -1,0 +1,66 @@
+"""Distributed (slab-sharded) KIFMM vs single-chip oracle on the
+8-device CPU mesh (the multi-chip FMM of SURVEY.md §3.4/§5.7)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sctl_tpu.fmm import KIFMM
+from sctl_tpu.fmm.kifmm_dist import KIFMMDist
+from sctl_tpu.ops import Laplace3D_FxU, Laplace3D_DxU, \
+    direct_eval_blocked
+
+RNG = np.random.default_rng(0)
+
+
+def rel_err(u, ref):
+    return float(np.abs(u - ref).max() / (np.abs(ref).max() + 1e-300))
+
+
+@pytest.mark.parametrize("depth", [3, 4])
+def test_dist_matches_direct(mesh8, depth):
+    n = 5000
+    xs = RNG.random((n, 3))
+    xt = RNG.random((n, 3))
+    f = RNG.normal(size=(n, 1))
+    dist = KIFMMDist(Laplace3D_FxU, mesh8, p=6, depth=depth).setup(
+        xs, xt)
+    u = dist.eval(f)
+    u_ref = np.asarray(direct_eval_blocked(
+        Laplace3D_FxU, jnp.asarray(xt), jnp.asarray(xs),
+        jnp.asarray(f)))
+    assert rel_err(u, u_ref) < 5e-4, rel_err(u, u_ref)
+
+
+def test_dist_matches_single_chip(mesh8):
+    """Bitwise-level agreement with the single-chip engine is not
+    expected (different M2L sweep order); accuracy-level agreement is."""
+    n = 4000
+    xs = RNG.random((n, 3))
+    f = RNG.normal(size=(n, 1))
+    dist = KIFMMDist(Laplace3D_FxU, mesh8, p=6, depth=3).setup(xs, xs)
+    u_d = dist.eval(f)
+    single = KIFMM(Laplace3D_FxU, p=6, depth=3).setup(xs, xs)
+    u_s = single.eval(f)
+    u_ref = np.asarray(direct_eval_blocked(
+        Laplace3D_FxU, jnp.asarray(xs), jnp.asarray(xs),
+        jnp.asarray(f)))
+    assert rel_err(u_d, u_ref) < 5e-4
+    assert rel_err(u_d, u_s) < 1e-4  # same operators, same accuracy
+
+
+def test_dist_double_layer(mesh8):
+    n = 3000
+    xs = RNG.random((n, 3))
+    nrm = RNG.normal(size=(n, 3))
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    xt = RNG.random((n, 3))
+    f = RNG.normal(size=(n, 1))
+    dist = KIFMMDist(Laplace3D_DxU, mesh8, p=6, depth=3).setup(
+        xs, xt, n_src=nrm)
+    u = dist.eval(f)
+    u_ref = np.asarray(direct_eval_blocked(
+        Laplace3D_DxU, jnp.asarray(xt), jnp.asarray(xs),
+        jnp.asarray(f), ns=jnp.asarray(nrm)))
+    assert rel_err(u, u_ref) < 1e-3, rel_err(u, u_ref)
