@@ -93,6 +93,52 @@ def alltoallv(comm: Comm, data, send_cnt, recv_capacity: int):
     return jax.tree_util.tree_map(one, data), recv_cnt
 
 
+def alltoallv_ring(comm: Comm, data, send_cnt, recv_capacity: int):
+    """Ragged all-to-all with O(C) memory: p-1 ppermute ring steps
+    rotating each rank's full buffer, every rank extracting the segment
+    addressed to it (the EvalDirect ring shape, fmm-wrapper.txx:537).
+
+    Same contract as `alltoallv`; preferable at large p where the
+    all_gather baseline's O(p*C) staging doesn't fit.  Only the (p,p)
+    count matrix is gathered.
+    """
+    p = comm.size()
+    if comm.axis is None or p == 1:
+        return alltoallv(comm, data, send_cnt, recv_capacity)
+    r = comm.rank()
+    all_cnt = lax.all_gather(send_cnt, comm.axis)     # (p, p) metadata
+    all_dsp = exclusive_cumsum(all_cnt, axis=1)
+    cnt_to_me = all_cnt[:, r]
+    dsp_to_me = all_dsp[:, r]
+    recv_dsp = exclusive_cumsum(cnt_to_me)
+    recv_cnt = jnp.sum(cnt_to_me)
+
+    C = _leading_capacity(data)
+    out = jax.tree_util.tree_map(
+        lambda v: jnp.zeros((recv_capacity,) + v.shape[1:],
+                            dtype=v.dtype), data)
+    j = jnp.arange(recv_capacity)
+    buf = data
+    perm = [(i, (i + 1) % p) for i in range(p)]
+    for s in range(p):
+        src = jnp.mod(r - s, p)                       # buffer's owner
+        start = dsp_to_me[src]
+        n_seg = cnt_to_me[src]
+        o0 = recv_dsp[src]
+        take = jnp.clip(j - o0 + start, 0, C - 1)
+        valid = (j >= o0) & (j < o0 + n_seg)
+
+        def place(o, v):
+            vshape = (recv_capacity,) + (1,) * (v.ndim - 1)
+            return jnp.where(valid.reshape(vshape), v[take], o)
+
+        out = jax.tree_util.tree_map(place, out, buf)
+        if s < p - 1:
+            buf = jax.tree_util.tree_map(
+                lambda v: lax.ppermute(v, comm.axis, perm), buf)
+    return out, recv_cnt
+
+
 def route(comm: Comm, data, cnt, dest, recv_capacity: int):
     """Route each valid row i to rank dest[i] (the sparse Ialltoallv
     pattern, comm.txx:363).  Stable within (source, destination).

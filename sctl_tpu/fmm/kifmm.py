@@ -92,8 +92,20 @@ def _vlist_offsets():
     return d, valid
 
 
+def _op_cache_path(ker_trans, p, depth, scale, rcond):
+    """Disk-cache path for precomputed operator tables (the reference's
+    SCTL_DATA_PATH cached-tables discipline, common.hpp:9-11,
+    sph_harm MatrixStore pattern)."""
+    import os
+    from ..config import config
+    key = (f"kifmm_{ker_trans.name}_p{p}_d{depth}"
+           f"_s{scale:.12g}_r{rcond:.3g}.npz")
+    return os.path.join(config.data_path, key)
+
+
 class KIFMMOperators:
-    """Per-(kernel family, p, depth, scale) precomputed operators."""
+    """Per-(kernel family, p, depth, scale) precomputed operators,
+    cached on disk under SCTL_DATA_PATH."""
 
     def __init__(self, ker_s2t: KernelSpec, ker_trans: KernelSpec,
                  ker_l2t: KernelSpec, p: int, depth: int, scale: float,
@@ -108,6 +120,11 @@ class KIFMMOperators:
         self.n_surf = len(surf)
         self.p = p
         self.offsets, self.parity_valid = _vlist_offsets()
+
+        cache_path = _op_cache_path(ker_trans, p, depth, scale, rcond)
+        if self._load_cache(cache_path, depth):
+            self._to_device(dtype, ker_s2t, ker_trans, ker_l2t)
+            return
 
         # child corners in MORTON child-index order: with keys built as
         # spread(x) | spread(y)<<1 | spread(z)<<2, child index
@@ -166,7 +183,10 @@ class KIFMMOperators:
                 mats.append(self.dc2e[lvl] @ k)
             self.m2l.append(np.stack(mats))        # (316, ns, ns)
 
-        # device copies
+        self._save_cache(cache_path)
+        self._to_device(dtype, ker_s2t, ker_trans, ker_l2t)
+
+    def _to_device(self, dtype, ker_s2t, ker_trans, ker_l2t):
         cast = lambda a: jnp.asarray(a, dtype=dtype)
         self.uc2e_d = [cast(a) for a in self.uc2e]
         self.dc2e_d = [cast(a) for a in self.dc2e]
@@ -178,12 +198,40 @@ class KIFMMOperators:
         self.ker_s2t = ker_s2t
         self.ker_trans = ker_trans
         self.ker_l2t = ker_l2t
-        # translation degrees of freedom per surface point: equivalent
-        # densities carry k0t dof, check potentials k1t (e.g. Stokes
-        # FSxU: 4 -> 3, the reference's reason for shipping FSxU,
-        # kernel_functions.hpp:213)
+        # translation dof per surface point: equivalent densities carry
+        # k0t, check potentials k1t (Stokes FSxU: 4 -> 3; the
+        # reference's reason for shipping FSxU, kernel_functions.hpp:213)
         self.k0t = ker_trans.kdim0
         self.k1t = ker_trans.kdim1
+
+    def _save_cache(self, path):
+        import os
+        try:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            arrs = {}
+            for name in ("uc2e", "dc2e", "m2m", "l2l", "m2l",
+                         "surf_in", "surf_out"):
+                for i, a in enumerate(getattr(self, name)):
+                    arrs[f"{name}_{i}"] = a
+            np.savez(path, **arrs)
+        except OSError:
+            pass                                   # cache is best-effort
+
+    def _load_cache(self, path, depth) -> bool:
+        import os
+        if not os.path.exists(path):
+            return False
+        try:
+            z = np.load(path)
+            for name, n in (("uc2e", depth + 1), ("dc2e", depth + 1),
+                            ("m2m", depth), ("l2l", depth),
+                            ("m2l", depth + 1), ("surf_in", depth + 1),
+                            ("surf_out", depth + 1)):
+                setattr(self, name,
+                        [z[f"{name}_{i}"] for i in range(n)])
+            return True
+        except Exception:
+            return False
 
 
 def _quantile_cap(box_cnt: np.ndarray, q: float = 97.0) -> int:

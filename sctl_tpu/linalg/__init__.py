@@ -2,6 +2,7 @@ from .gmres import GMRES, KrylovPrecond, gmres
 from .lagrange import interpolation_matrix, derivative_matrix
 from .quadrule import cheb_quad_rule, leg_quad_rule, InterpQuadRule
 from .ode import SDC
+from . import cheb
 from .fft import FFT
 from .sph_harm import SphericalHarmonics, sh_dim
 

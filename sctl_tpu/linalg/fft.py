@@ -118,6 +118,50 @@ def _c2flat(y):
     return jnp.stack([flat.real, flat.imag], axis=1).reshape(-1)
 
 
+def fft_dd(re, im, inverse: bool = False):
+    """1-D DFT in double-double precision (the reference's QuadReal FFT
+    path, src/test-fft.cpp with SCTL_QUAD_T: no FFTW for f128 -> dense
+    DFT-matrix transform, fft_wrapper.txx:70-110).
+
+    re/im: DD or float arrays of length n.  Returns (re_out, im_out)
+    as DD.  O(n^2) host computation — precompute-grade.
+    """
+    from .. import quadmath as qm
+    re = re if isinstance(re, qm.DD) else qm.DD(np.asarray(re, float))
+    im = im if isinstance(im, qm.DD) else qm.DD(np.asarray(im, float))
+    n = len(re.hi)
+    k = np.arange(n, dtype=np.float64)
+    sign = 1.0 if inverse else -1.0
+    # angles k*j*2pi/n in DD: build row by row (exact k*j as float64
+    # products are exact up to n^2 < 2^53)
+    out_re = qm.DD.zeros(n)
+    out_im = qm.DD.zeros(n)
+    two_pi = qm.dd_2pi()
+    inv_n = qm.dd_div(qm.DD(1.0), qm.DD(float(n)))
+    for j in range(n):
+        ang = qm.dd_mul(qm.dd_mul(two_pi, inv_n),
+                        qm.DD(sign * k * j))
+        s, c = qm._dd_sincos(ang)
+        # out[j] = sum_k (re + i im)(c + i s)
+        rr = qm.dd_add(qm.dd_mul(re, c), qm.dd_neg(qm.dd_mul(im, s)))
+        ii = qm.dd_add(qm.dd_mul(re, s), qm.dd_mul(im, c))
+        out_re[j] = _dd_sum(rr)
+        out_im[j] = _dd_sum(ii)
+    if inverse:
+        out_re = qm.dd_mul(out_re, inv_n)
+        out_im = qm.dd_mul(out_im, inv_n)
+    return out_re, out_im
+
+
+def _dd_sum(a):
+    """Sum of a DD vector (sequential compensated)."""
+    from .. import quadmath as qm
+    acc = qm.DD(0.0)
+    for i in range(len(a.hi)):
+        acc = qm.dd_add(acc, qm.DD(a.hi[i], a.lo[i]))
+    return acc
+
+
 def dft_matrix(n: int, inverse: bool = False, dtype=jnp.complex128):
     """Dense DFT matrix (the reference fallback's building block,
     fft_wrapper.txx:70-110; used by sph_harm for odd grids)."""

@@ -272,3 +272,26 @@ def test_self_comm_dual_mode():
     ks, _, n = global_sort(comm, k, jnp.int32(16), capacity=16)
     np.testing.assert_allclose(np.asarray(ks), np.sort(np.asarray(k)))
     assert int(n) == 16
+
+
+def test_alltoallv_ring_matches_allgather(mesh8):
+    """The O(C)-memory ring alltoallv == the allgather-staged baseline."""
+    from sctl_tpu.comm import alltoallv_ring
+    rng = np.random.default_rng(9)
+    comm = Comm.world(mesh8)
+    send_cnt = rng.integers(0, 4, size=(PROC, PROC)).astype(np.int32)
+    data = np.zeros((PROC, CAP))
+    for r in range(PROC):
+        data[r, :send_cnt[r].sum()] = rng.normal(size=send_cnt[r].sum())
+
+    def f(d, c):
+        o1, n1 = alltoallv(comm, d, c, recv_capacity=CAP * 2)
+        o2, n2 = alltoallv_ring(comm, d, c, recv_capacity=CAP * 2)
+        return o1, o2, (n1 - n2).astype(jnp.int32)[None]
+
+    o1, o2, dn = comm.run(f, in_specs=(P("x"), P("x")),
+                          out_specs=(P("x"), P("x"), P("x")))(
+        shard(mesh8, data.reshape(-1)),
+        shard(mesh8, send_cnt.reshape(-1)))
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2))
+    assert (np.asarray(dn) == 0).all()

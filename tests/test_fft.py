@@ -51,3 +51,23 @@ def test_dft_matrix():
     np.testing.assert_allclose(Fi @ F, np.eye(n), atol=1e-12)
     x = RNG.normal(size=n)
     np.testing.assert_allclose(F @ x, np.fft.fft(x), atol=1e-12)
+
+
+def test_fft_dd_roundtrip():
+    """QuadReal-path FFT (reference: test-fft.cpp with SCTL_QUAD_T):
+    roundtrip accuracy far beyond float64."""
+    from sctl_tpu.linalg.fft import fft_dd
+    from sctl_tpu import quadmath as qm
+    n = 16
+    re = RNG.normal(size=n)
+    im = RNG.normal(size=n)
+    fr, fi = fft_dd(re, im)
+    # matches float64 FFT at f64 level
+    ref = np.fft.fft(re + 1j * im)
+    np.testing.assert_allclose(fr.to_float64(), ref.real, atol=1e-12)
+    np.testing.assert_allclose(fi.to_float64(), ref.imag, atol=1e-12)
+    # roundtrip at DD accuracy (beyond f64 eps)
+    br, bi = fft_dd(fr, fi, inverse=True)
+    err_r = np.abs((br - qm.DD(re)).to_float64()).max()
+    err_i = np.abs((bi - qm.DD(im)).to_float64()).max()
+    assert err_r < 1e-28 and err_i < 1e-28, (err_r, err_i)
