@@ -8,15 +8,16 @@ implementation (SURVEY.md §7 M7).  Method: equivalent-surface KIFMM
   S2M  per-leaf check potentials (pairwise kernel, VPU) then
        q_up = uc2e @ u_check (batched GEMM)
   M2M  child->parent as 8 precomputed (n_surf x n_surf) GEMMs
-  M2L  the V-list realized as 316 relative grid shifts of the dense
-       per-level box grid, each one masked (child-parity validity +
-       domain boundary) batched GEMM — no interaction lists, no gather:
-       shift + matmul only
+  M2L  the V-list realized as grid shifts of the dense per-level box
+       grid: per child parity, exactly 189 unstrided block shifts of a
+       parity-factored layout, each a batched GEMM — no interaction
+       lists, no gathers
   L2L  parent->child, 8 GEMMs; dc2e solve folded into precompute
   L2T  per-leaf equivalent->targets (pairwise kernel)
-  P2P  27 neighbor offsets; for each, every target box interacts with
-       one source box — a (B, Ct, Cs) batched pairwise sweep chunked
-       with lax.map to bound memory
+  P2P  lax.scan over the 27 neighbor offsets; each step a (B, Ct, Cs)
+       batched pairwise sweep chunked with lax.map.  Box capacity is a
+       97th-percentile quantile (64-multiple); the few points beyond it
+       live in compact slot-2 arrays with dedicated sweeps
 
 Operators are precomputed per level on host in float64 (pinv with
 rcond), then cast to the device dtype (float32 on TPU).  Kernel roles
@@ -269,25 +270,6 @@ def _overflow_slots(tree: UniformTree, cap: int):
     return boxes, cap2, idx, valid
 
 
-def _masked_pairwise(ker, xt, xs, nrm, f, mask, chunk=2048):
-    """u[t] = sum_s mask[t,s] K(xt_t, xs_s) f_s via the kernel's masked
-    apply (the per-pair mask rides on rinv — ops/kernels.py), chunked
-    over targets; for the overflow-overflow adjacency block."""
-    from jax import lax as _lax
-
-    def one(args):
-        xt_c, mask_c = args
-        return ker.apply_pairwise(xt_c, xs, nrm, f, mask=mask_c)
-
-    nt = xt.shape[0]
-    pad = (-nt) % chunk
-    xt_p = jnp.pad(xt, ((0, pad), (0, 0)))
-    mask_p = jnp.pad(mask, ((0, pad), (0, 0)))
-    u = _lax.map(one, (xt_p.reshape(-1, chunk, 3),
-                       mask_p.reshape(-1, chunk, xs.shape[0])))
-    return u.reshape(-1, ker.kdim1)[:nt] * ker.scale_factor
-
-
 def _pad_boxes(tree: UniformTree, values: Optional[np.ndarray],
                cap: int):
     """Gather per-box padded point/value arrays from the Morton-sorted
@@ -359,14 +341,13 @@ class KIFMM:
          self.tov_valid) = _overflow_slots(self.trg_tree, self.cap_t)
         self.n_ovf_s = int(self.sov_valid.sum())
         self.n_ovf_t = int(self.tov_valid.sum())
-        xs_p, ns_p, s_mask = _pad_boxes(
+        xs_p, ns_p, _ = _pad_boxes(
             self.src_tree, n_src, self.cap_s)
         xt_p, _, t_mask = _pad_boxes(self.trg_tree, None, self.cap_t)
         dt = self.dtype
         self.xs_pad = jnp.asarray(xs_p, dt)
         self.ns_pad = (jnp.asarray(ns_p, dt) if ns_p is not None
                        else jnp.zeros_like(self.xs_pad))
-        self.s_mask = jnp.asarray(s_mask)
         self.xt_pad = jnp.asarray(xt_p, dt)
         self.t_mask = jnp.asarray(t_mask)
         ctr = self.src_tree.box_centers()
@@ -388,8 +369,6 @@ class KIFMM:
             "l2l": tuple(ops.l2l_d),
             "m2l": tuple(ops.m2l_d),
             "surf_out_L": ops.surf_out_d[L],
-            "offsets": jnp.asarray(ops.offsets, dtype=jnp.int32),
-            "pvalid": jnp.asarray(ops.parity_valid.T.astype(dt)),
             **self._parity_tables(ops),
             "gidx": tuple(jnp.asarray(self._grid_index_np(l))
                           for l in range(L + 1)),

@@ -33,7 +33,6 @@ is ROADMAP.md #5.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -44,7 +43,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.kernels import KernelSpec, Laplace3D_FxU
 from ..tree.tree import UniformTree
-from .kifmm import KIFMMOperators, _pad_boxes, _vlist_offsets
+from .kifmm import KIFMMOperators, _pad_boxes
 
 
 class KIFMMDist:
@@ -201,10 +200,11 @@ class KIFMMDist:
         res[self.trg_tree.perm] = out
         return res
 
-    @functools.lru_cache(maxsize=None)
     def _xmajor_inv(self):
         """Morton box index -> x-major linear position."""
-        return np.argsort(self._xmajor[self.depth])
+        if getattr(self, "_xmajor_inv_cache", None) is None:
+            self._xmajor_inv_cache = np.argsort(self._xmajor[self.depth])
+        return self._xmajor_inv_cache
 
     def _eval_impl(self, fp, xs_l, ns_l, xt_l, ctr_l, data):
         """Per-shard slab computation (traced inside shard_map)."""
