@@ -81,3 +81,39 @@ def test_native_sort_fallback_consistency():
     ks, kp = native.argsort_u64(k)
     np.testing.assert_array_equal(k[kp], ks)
     assert (np.diff(ks.astype(object)) >= 0).all()
+
+
+def test_checkpoint_pytree(tmp_path):
+    """Solver-state checkpointing (SURVEY §5.4 orbax-style mapping)."""
+    from sctl_tpu.utils import checkpoint as ckpt
+    tree = {"a": jnp.arange(8.0), "b": [jnp.ones((3, 2)),
+                                        jnp.asarray(2.5)]}
+    p = str(tmp_path / "state")
+    ckpt.save(p, tree)
+    back = ckpt.restore(p, like=tree)
+    import jax
+    for l1, l2 in zip(jax.tree_util.tree_leaves(tree),
+                      jax.tree_util.tree_leaves(back)):
+        np.testing.assert_allclose(np.asarray(l2), np.asarray(l1))
+
+
+def test_checkpoint_krylov_roundtrip(tmp_path):
+    """Persist and reuse a Krylov preconditioner across 'runs'
+    (the test-linear-solver.cpp reuse scenario, but via checkpoint)."""
+    from sctl_tpu.utils import checkpoint as ckpt
+    from sctl_tpu.linalg import gmres, KrylovPrecond
+    rng = np.random.default_rng(7)
+    N = 80
+    A = jnp.asarray(rng.random((N, N)) / N + np.eye(N))
+    op = lambda v: A @ v
+    kp = KrylovPrecond()
+    b = jnp.asarray(rng.random(N))
+    _, it1 = gmres(op, b, tol=1e-10, krylov_precond=kp)
+    p = str(tmp_path / "kp")
+    ckpt.save_krylov_precond(p, kp)
+    kp2 = ckpt.restore_krylov_precond(p)
+    assert kp2.rank() == kp.rank() and kp2.size() == kp.size()
+    b2 = jnp.asarray(rng.random(N))
+    _, it_fresh = gmres(op, b2, tol=1e-10)
+    _, it_restored = gmres(op, b2, tol=1e-10, krylov_precond=kp2)
+    assert it_restored <= it_fresh
