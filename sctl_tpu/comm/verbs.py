@@ -238,18 +238,20 @@ def global_sort(comm: Comm, keys, cnt, payload=None,
                          else _take_rows(payload_l, pad_idx))
         return keys_l, payload_l, out_cnt
 
-    # regular samples from the locally sorted keys
+    # regular samples from the locally sorted keys; a rank with
+    # cnt < ns contributes only its min(cnt, ns) distinct keys (the
+    # rest are sentinel-masked so under-full ranks don't skew the
+    # splitter quantiles)
     ns = min(C, 32)  # samples per rank (oversampling factor)
-    pos = ((jnp.arange(ns) + 0.5) * cnt / ns).astype(jnp.int32)
-    pos = jnp.clip(pos, 0, C - 1)
-    samples = keys_l[pos]
-    samples = jnp.where(jnp.arange(ns) < jnp.minimum(cnt, ns) * 0 + ns,
-                        samples, _key_sentinel(keys.dtype))
-    # ranks with cnt<ns produce duplicate samples — harmless for splitters
-    samples = jnp.where(cnt > 0, samples, _key_sentinel(keys.dtype))
+    m = jnp.minimum(cnt, ns)                  # valid samples this rank
+    pos = ((jnp.arange(ns) + 0.5) * cnt
+           / jnp.maximum(m, 1)).astype(jnp.int32)
+    pos = jnp.clip(pos, 0, jnp.maximum(cnt - 1, 0))
+    samples = jnp.where(jnp.arange(ns) < m, keys_l[pos],
+                        _key_sentinel(keys.dtype))
     all_samples = lax.all_gather(samples, comm.axis).reshape(-1)
-    all_samples = jnp.sort(all_samples)
-    n_valid = comm.allreduce(jnp.where(cnt > 0, ns, 0))
+    all_samples = jnp.sort(all_samples)       # sentinels sort last
+    n_valid = comm.allreduce(m)
     spos = ((jnp.arange(1, p) * n_valid) // p).astype(jnp.int32)
     spos = jnp.clip(spos, 0, p * ns - 1)
     splitters = all_samples[spos]

@@ -57,7 +57,14 @@ def write_array(path: str, arr, dtype=None) -> None:
 
 
 def read_array(path: str, dtype=None) -> np.ndarray:
-    """Read an array written by write_array, converting to dtype if given."""
+    """Read an array written by write_array, converting to dtype if given.
+
+    NOTE: this format (magic + dtype code + ndim + dims) is
+    intentionally richer than the reference's raw (dim0, dim1) uint64
+    header — it is self-describing in dtype and rank.  For migrating
+    caches produced by the reference's Vector/Matrix::Write, use
+    read_array_sctl/write_array_sctl below.
+    """
     with open(path, "rb") as f:
         magic = f.read(len(_MAGIC))
         if magic != _MAGIC:
@@ -68,6 +75,43 @@ def read_array(path: str, dtype=None) -> np.ndarray:
     if dtype is not None:
         a = a.astype(dtype)
     return a
+
+
+def read_array_sctl(path: str, dtype, out_dtype=None) -> np.ndarray:
+    """Read a file produced by the reference's Vector/Matrix::Write
+    (vector.txx:107-118, matrix.txx:114-126): little-endian
+    (dim0, dim1) uint64 header + raw ValueType data.  The element
+    dtype is NOT stored on disk — the caller must supply it, exactly
+    as the reference caller knows the template ValueType.
+
+    Returns shape (dim0,) when dim1 == 1 (Vector layout), else
+    (dim0, dim1) (Matrix layout).
+    """
+    with open(path, "rb") as f:
+        d0, d1 = struct.unpack("<QQ", f.read(16))
+        a = np.frombuffer(f.read(), dtype=np.dtype(dtype)
+                          ).reshape(d0, d1)
+    a = a[:, 0] if d1 == 1 else a
+    return a.astype(out_dtype) if out_dtype is not None else a
+
+
+def write_array_sctl(path: str, arr, dtype=None) -> None:
+    """Write in the reference's Vector/Matrix::Write layout (see
+    read_array_sctl) so files are interchangeable with reference-
+    produced cached tables.  1-D arrays use the Vector layout
+    (dim1=1); 2-D use the Matrix layout."""
+    a = np.asarray(arr)
+    if dtype is not None:
+        a = a.astype(dtype)
+    if a.ndim == 1:
+        d0, d1 = a.shape[0], 1
+    elif a.ndim == 2:
+        d0, d1 = a.shape
+    else:
+        raise ValueError("reference layout is 1-D/2-D only")
+    with open(path, "wb") as f:
+        f.write(struct.pack("<QQ", d0, d1))
+        f.write(np.ascontiguousarray(a).tobytes())
 
 
 @jax.tree_util.register_pytree_node_class

@@ -292,16 +292,36 @@ class KIFMM:
                  depth: Optional[int] = None,
                  pts_per_leaf: int = 256,
                  ker_l2t: Optional[KernelSpec] = None,
+                 ker_s2m: Optional[KernelSpec] = None,
                  dtype=None):
         import jax
-        from ..ops.kernels import Stokes3D_FSxU
+        from ..ops.kernels import Laplace3D_FxdU, Stokes3D_FSxU
         self.ker_s2t = ker_s2t
         if ker_s2t.name.startswith("Stokes"):
             self.ker_trans = Stokes3D_FSxU
             self.ker_l2t = ker_l2t or Stokes3D_FSxU
         else:
             self.ker_trans = Laplace3D_FxU
-            self.ker_l2t = ker_l2t or Laplace3D_FxU
+            self.ker_l2t = ker_l2t or (
+                Laplace3D_FxdU if ker_s2t.name == "Laplace3D-FxdU"
+                else Laplace3D_FxU)
+        # S2M check-potential kernel: same source type as ker_s2t but
+        # target type = the translation kernel's (the upward check
+        # surface carries ker_trans.kdim1 values per point to match
+        # uc2e).  Kernels whose target type differs (FxdU: gradient
+        # targets) evaluate S2M with the potential-target sibling —
+        # the reference's kernel-role split (fmm-wrapper.hpp:73-100).
+        if ker_s2m is None:
+            ker_s2m = (Laplace3D_FxU
+                       if ker_s2t.name == "Laplace3D-FxdU" else ker_s2t)
+        if (ker_s2m.kdim0 != ker_s2t.kdim0
+                or ker_s2m.kdim1 != self.ker_trans.kdim1):
+            raise ValueError(
+                f"ker_s2m {ker_s2m.name} dims ({ker_s2m.kdim0},"
+                f"{ker_s2m.kdim1}) incompatible with ker_s2t "
+                f"{ker_s2t.name} (kdim0={ker_s2t.kdim0}) and ker_trans "
+                f"{self.ker_trans.name} (kdim1={self.ker_trans.kdim1})")
+        self.ker_s2m = ker_s2m
         self.p = p
         self.pts_per_leaf = pts_per_leaf
         self.depth = depth
@@ -315,6 +335,11 @@ class KIFMM:
     # -- setup -----------------------------------------------------------
     def setup(self, x_src: np.ndarray, x_trg: np.ndarray,
               n_src: Optional[np.ndarray] = None):
+        if (self.ker_s2t.needs_normal or self.ker_s2m.needs_normal) \
+                and n_src is None:
+            raise ValueError(
+                f"kernel {self.ker_s2t.name} requires source normals: "
+                "pass n_src (mirrors direct_eval_blocked's assert)")
         x_src = np.asarray(x_src, np.float64)
         x_trg = np.asarray(x_trg, np.float64)
         lo = np.minimum(x_src.min(0), x_trg.min(0))
@@ -507,19 +532,19 @@ class KIFMM:
 
         def s2m_box(args):
             xc, xs, nsrm, fb = args
-            return self.ker_s2t.apply_pairwise(xc, xs, nsrm, fb)
+            return self.ker_s2m.apply_pairwise(xc, xs, nsrm, fb)
 
         u_check = lax.map(s2m_box,
                           (xck, xs_pad, ns_pad, fp),
                           batch_size=max(1, min(B, 4096)))
         # (B, n_surf, k1t) -> (B, n_surf*k1t), target-major like _kmat
-        u_check = u_check.reshape(B, -1) * self.ker_s2t.scale_factor
+        u_check = u_check.reshape(B, -1) * self.ker_s2m.scale_factor
         if Os:  # slot-2 sources contribute to their box's multipole
             sb = data["sov_boxes"]
             xck_o = data["surf_out_L"][None] + ctr[sb][:, None, :]
 
             def s2m_ovf(args):
-                return self.ker_s2t.apply_pairwise(*args)
+                return self.ker_s2m.apply_pairwise(*args)
 
             uo = lax.map(s2m_ovf,
                          (xck_o, data["xs_ov2"], data["ns_ov2"],
@@ -528,7 +553,7 @@ class KIFMM:
                                                8192)))
             u_check = u_check.at[sb].add(
                 uo.reshape(len(self.sov_boxes), -1)
-                * self.ker_s2t.scale_factor)
+                * self.ker_s2m.scale_factor)
         q_up = jnp.einsum("mn,bn->bm", data["uc2e_L"], u_check,
                           precision=hi)            # (B, ns)
 

@@ -40,41 +40,46 @@ def save(path: str, tree: Any) -> None:
 
 def restore(path: str, like: Any = None) -> Any:
     """Restore a pytree saved by `save`.  `like` (an example pytree)
-    is required by the npz fallback and recommended for orbax."""
-    try:
-        import orbax.checkpoint as ocp
-        ckptr = ocp.PyTreeCheckpointer()
-        if like is not None:
-            return ckptr.restore(os.path.abspath(path), item=like)
-        return ckptr.restore(os.path.abspath(path))
-    except ImportError:
-        z = np.load(path if path.endswith(".npz") else path + ".npz")
-        assert like is not None, "npz fallback needs `like`"
+    is required by the npz format and recommended for orbax.
+
+    Dispatches on the ON-DISK format (orbax writes a directory, the
+    fallback writes a .npz file), not on whether orbax imports — a
+    checkpoint written in one environment restores in the other.
+    """
+    npz_path = path if path.endswith(".npz") else path + ".npz"
+    if os.path.isfile(npz_path) and not os.path.isdir(path):
+        z = np.load(npz_path)
+        assert like is not None, "npz restore needs `like`"
         leaves, treedef = jax.tree_util.tree_flatten(like)
         new = [z[f"leaf_{i}"] for i in range(len(leaves))]
         return jax.tree_util.tree_unflatten(treedef, new)
+    import orbax.checkpoint as ocp
+    ckptr = ocp.PyTreeCheckpointer()
+    if like is not None:
+        return ckptr.restore(os.path.abspath(path), item=like)
+    return ckptr.restore(os.path.abspath(path))
 
 
 def save_krylov_precond(path: str, kp) -> None:
     """Persist a KrylovPrecond's recycled subspaces (reference use
-    case: reuse across solver runs, lin-solve.hpp:21-64)."""
-    save(path, {"pairs": [(np.asarray(q), np.asarray(u))
-                          for q, u in kp._pairs],
-                "n": np.asarray(kp._n)})
+    case: reuse across solver runs, lin-solve.hpp:21-64).
+
+    Uses the self-describing .npz layout directly (flat q_i/u_i keys +
+    n_pairs) so restore never needs a structural template."""
+    arrs = {"n": np.asarray(kp._n),
+            "n_pairs": np.asarray(len(kp._pairs))}
+    for i, (q, u) in enumerate(kp._pairs):
+        arrs[f"q_{i}"] = np.asarray(q)
+        arrs[f"u_{i}"] = np.asarray(u)
+    np.savez(path if path.endswith(".npz") else path + ".npz", **arrs)
 
 
 def restore_krylov_precond(path: str):
     from ..linalg.gmres import KrylovPrecond
     import jax.numpy as jnp
+    z = np.load(path if path.endswith(".npz") else path + ".npz")
     kp = KrylovPrecond()
-    like = None
-    try:
-        import orbax.checkpoint as ocp
-        data = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
-    except ImportError:
-        raise RuntimeError("orbax required for restore without a "
-                           "template") from None
-    kp._n = int(np.asarray(data["n"]))
-    kp._pairs = [(jnp.asarray(q), jnp.asarray(u))
-                 for q, u in data["pairs"]]
+    kp._n = int(z["n"])
+    kp._pairs = [(jnp.asarray(z[f"q_{i}"]), jnp.asarray(z[f"u_{i}"]))
+                 for i in range(int(z["n_pairs"]))]
     return kp

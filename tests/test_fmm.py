@@ -158,3 +158,29 @@ def test_kifmm_stokes():
         Stokes3D_DxU, jnp.asarray(xt), jnp.asarray(xs),
         jnp.asarray(f), ns=jnp.asarray(nrm)))
     assert rel_err(u2, u2_ref) < 5e-3, rel_err(u2, u2_ref)
+
+
+def test_kifmm_fxdu_gradient_kernel():
+    """FxdU through the tree: the kernel-role split (S2M with the
+    potential sibling FxU, P2P/L2T with FxdU) must give gradients at
+    ALL targets — near and far (advisor round-1 high finding)."""
+    n = 4000
+    xs = RNG.random((n, 3))
+    xt = RNG.random((n, 3))
+    f = RNG.normal(size=(n, 1))
+    kifmm = KIFMM(Laplace3D_FxdU, p=6, depth=3).setup(xs, xt)
+    u = kifmm.eval(f)
+    assert u.shape == (n, 3)
+    u_ref = np.asarray(direct_eval_blocked(
+        Laplace3D_FxdU, jnp.asarray(xt), jnp.asarray(xs),
+        jnp.asarray(f)))
+    assert rel_err(u, u_ref) < 5e-3, rel_err(u, u_ref)
+
+
+def test_kifmm_requires_normals_for_dipole_kernels():
+    """Setup must refuse needs_normal kernels without n_src instead of
+    silently evaluating with zero normals (advisor medium finding)."""
+    xs = RNG.random((200, 3))
+    xt = RNG.random((200, 3))
+    with pytest.raises(ValueError, match="normals"):
+        KIFMM(Laplace3D_DxU, p=4, depth=2).setup(xs, xt)
