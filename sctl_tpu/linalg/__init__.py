@@ -4,7 +4,9 @@ from .quadrule import cheb_quad_rule, leg_quad_rule, InterpQuadRule
 from .ode import SDC
 from . import cheb
 from .fft import FFT
-from .sph_harm import SphericalHarmonics, sh_dim
+from .sph_harm import (SphericalHarmonics, sh_dim, stokes_eval_sl,
+                       stokes_eval_dl, stokes_eval_kl,
+                       stokes_eval_kself, stokes_pressure_sl)
 
 __all__ = [
     "GMRES", "KrylovPrecond", "gmres",

@@ -1,12 +1,30 @@
-"""Spherical harmonic transforms.
+"""Spherical harmonic transforms — scalar and vector — plus the
+Stokes-on-sphere layer potentials.
 
-TPU-native equivalent of the reference's scalar SH machinery (reference:
+TPU-native equivalent of the reference's SH machinery (reference:
 include/sctl/sph_harm.hpp:21-150, sph_harm.txx:300-312 — Grid2SHC /
 SHC2Grid as per-order Legendre-matrix products + FFT in longitude,
 pointwise SHCEval, gradient synthesis; precomputed-matrix cache
-`MatrixStorage` up to SCTL_SHMAXDEG, sph_harm.hpp:207-258).  The
-Stokes-on-sphere layer potentials (StokesEvalSL/DL/KSelf) build on these
-and are staged for a later round.
+`MatrixStorage` up to SCTL_SHMAXDEG, sph_harm.hpp:207-258; vector SH
+Grid2VecSHC / VecSHC2Grid / VecSHCEval sph_harm.hpp:95-120,
+sph_harm.txx:656-911; Stokes sphere layer potentials
+StokesEvalSL/DL/KL/KSelf sph_harm.hpp:122-141, sph_harm.txx:913-2000).
+
+Vector-basis conventions (geometric, normalization-independent — the
+same families the reference builds at sph_harm.txx:1030-1042):
+    V_nm = -(n+1) Y_nm r̂ + r∇Y_nm      (decays as r^{-n-2} exterior)
+    W_nm =      n Y_nm r̂ + r∇Y_nm      (grows as r^{n-1} interior)
+    X_nm = r̂ × r∇Y_nm                   (toroidal)
+built over THIS module's real packed scalar basis (the reference uses a
+complex e^{-imφ} pairing; the Stokes spectral coefficients depend only
+on (n, family) so they carry over to any fixed real combination).
+
+The Stokes single/double layer diagonalize in (n, family) with
+radius-dependent scalars (sph_harm.txx:1050-1090 SL, 1258-1290 DL,
+1873-1905 KSelf).  The traction operator at arbitrary targets
+(StokesEvalKL) is built TPU-first: forward-mode autodiff (jax.jvp) of
+the single-layer velocity plus the spectral pressure — no hand-derived
+VSH-derivative tables (the reference's sph_harm.txx:1341-1739).
 
 Representation:
   grid   : (Nt, Np) samples, theta = Gauss-Legendre colatitude nodes
@@ -43,10 +61,10 @@ def sh_dim(p: int) -> int:
 def _legendre_tables(p: int, nt: int):
     """Normalized associated Legendre values at GL nodes.
 
-    Returns (P (p+1, p+1, nt), dPdt (p+1, p+1, nt), theta (nt,),
-    wts (nt,)): P[m, l] is N_lm P_l^m(cos theta) (zero for l < m);
-    dPdt its theta-derivative.  Stable (l,m) three-term recurrence on
-    the fully normalized functions.
+    Returns (P (p+1, p+1, nt), theta (nt,), wts (nt,)): P[m, l] is
+    N_lm P_l^m(cos theta) (zero for l < m).  Stable (l,m) three-term
+    recurrence on the fully normalized functions.  (Derivative/csc
+    tables come from `_legendre_trio`, which is pole-safe.)
     """
     x01, w01 = leg_quad_rule(nt)
     ct = 1 - 2 * x01              # cos(theta) in (-1, 1), descending
@@ -69,21 +87,7 @@ def _legendre_tables(p: int, nt: int):
             b = np.sqrt(((l - 1.0) ** 2 - m * m) / (4.0 * (l - 1.0) ** 2
                                                     - 1))
             P[m, l] = a * (ct * P[m, l - 1] - b * P[m, l - 2])
-    # theta-derivative via d/dt = -st d/d(ct); use relation
-    # dP_lm/dt = (l ct P_lm - (l+m) r_lm P_{l-1,m}) / (-st) with
-    # normalization-adjusted ratio; safer: finite relation
-    dP = np.zeros_like(P)
-    for m in range(p + 1):
-        for l in range(m, p + 1):
-            if l > m:
-                c = np.sqrt(((2.0 * l + 1) * (l * l - m * m))
-                            / (2.0 * l - 1))
-                dP[m, l] = (l * ct * P[m, l] - c * P[m, l - 1]) / \
-                    np.where(st > 1e-14, -st, 1.0)
-            else:
-                dP[m, l] = (l * ct * P[m, l]) / np.where(
-                    st > 1e-14, -st, 1.0)
-    return P, dP, theta, w
+    return P, theta, w
 
 
 class SphericalHarmonics:
@@ -93,14 +97,25 @@ class SphericalHarmonics:
 
     def __init__(self, p: int, nt: int = None, np_: int = None):
         self.p = p
-        self.nt = nt or (p + 1)
+        self.nt = nt or (p + 2)
         self.np_ = np_ or (2 * p + 2)
         assert self.nt >= p + 1 and self.np_ >= 2 * p + 1
-        P, dP, theta, w = _legendre_tables(p, self.nt)
+        P, theta, w = _legendre_tables(p, self.nt)
         self._P = jnp.asarray(P)
-        self._dP = jnp.asarray(dP)
         self.theta = theta
         self._w = jnp.asarray(w)
+        # pole-safe derivative + csc tables for the vector transforms
+        ct, st = np.cos(theta), np.sin(theta)
+        Pt, dPt, Qt = _legendre_trio(p, ct, st, np)
+        dPa = np.zeros((p + 1, p + 1, self.nt))
+        Qa = np.zeros((p + 1, p + 1, self.nt))
+        for m in range(p + 1):
+            for l in range(m, p + 1):
+                dPa[m, l] = dPt[m][l]
+                if m >= 1:
+                    Qa[m, l] = Qt[m][l]
+        self._dP = jnp.asarray(dPa)
+        self._Q = jnp.asarray(Qa)
 
     # -- grid <-> coefficients -------------------------------------------
     # Real orthonormal basis: Y_l0 = P[0,l];
@@ -170,6 +185,133 @@ class SphericalHarmonics:
                 i += 2
         return c, s
 
+    def _pack(self, c, s):
+        """(c[.., m, l], s[.., m, l]) -> packed (.., (p+1)^2)."""
+        p = self.p
+        packed = []
+        for l in range(p + 1):
+            packed.append(c[..., 0, l][..., None])
+            for m in range(1, l + 1):
+                packed.append(c[..., m, l][..., None])
+                packed.append(s[..., m, l][..., None])
+        return jnp.concatenate(packed, axis=-1)
+
+    # -- vector transforms -------------------------------------------------
+    def grid2vecshc(self, F) -> jnp.ndarray:
+        """(.., 3, nt, np_) Cartesian vector field -> (.., 3, (p+1)^2)
+        packed (V, W, X) coefficients (reference: Grid2VecSHC,
+        sph_harm.txx:656-758).
+
+        Algorithm: rotate to spherical components; y = scalar analysis
+        of f_r; tangential projections onto Psi = r grad Y and
+        Phi = r̂ x Psi via per-order GEMMs with the dP/dtheta and
+        m P/sin(theta) tables; then v = (n g - y)/(2n+1),
+        w = ((n+1) g + y)/(2n+1) (the reference's phiV/phiW mixing at
+        sph_harm.txx:744-746).
+        """
+        p, np_ = self.p, self.np_
+        F = jnp.asarray(F)
+        theta = jnp.asarray(self.theta)
+        ct, st = jnp.cos(theta), jnp.sin(theta)
+        phi = 2 * np.pi * jnp.arange(np_) / np_
+        cp, sp = jnp.cos(phi), jnp.sin(phi)
+        fx, fy, fz = F[..., 0, :, :], F[..., 1, :, :], F[..., 2, :, :]
+        ctg, stg = ct[:, None], st[:, None]
+        cpg, spg = cp[None, :], sp[None, :]
+        f_r = stg * cpg * fx + stg * spg * fy + ctg * fz
+        f_t = ctg * cpg * fx + ctg * spg * fy - stg * fz
+        f_p = -spg * fx + cpg * fy
+
+        y = self.grid2shc(f_r)                     # (.., M)
+
+        fmt = jnp.fft.rfft(f_t, axis=-1) * (2 * np.pi / np_)
+        fmp = jnp.fft.rfft(f_p, axis=-1) * (2 * np.pi / np_)
+        sq2 = np.sqrt(2.0)
+        gc, gs, xc, xs = [], [], [], []
+        for m in range(p + 1):
+            dPw = self._dP[m] * self._w[None, :]   # (p+1, nt)
+            Qw = self._Q[m] * self._w[None, :]
+            Ct = fmt[..., :, m].real
+            St = -fmt[..., :, m].imag
+            Cp = fmp[..., :, m].real
+            Sp = -fmp[..., :, m].imag
+            sq = 1.0 if m == 0 else sq2
+            E = lambda M_, v: jnp.einsum("ln,...n->...l", M_, v)  # noqa
+            gc.append(sq * (E(dPw, Ct) - m * E(Qw, Sp)))
+            gs.append(sq * (E(dPw, St) + m * E(Qw, Cp)))
+            xc.append(sq * (m * E(Qw, St) + E(dPw, Cp)))
+            xs.append(sq * (-m * E(Qw, Ct) + E(dPw, Sp)))
+        gc, gs = jnp.stack(gc, -2), jnp.stack(gs, -2)   # (.., m, l)
+        xc, xs = jnp.stack(xc, -2), jnp.stack(xs, -2)
+        ll = jnp.asarray(np.arange(p + 1, dtype=np.float64))
+        inv = 1.0 / jnp.where(ll > 0, ll * (ll + 1), 1.0)
+        g = self._pack(gc * inv, gs * inv)         # (.., M)
+        x = self._pack(xc * inv, xs * inv)
+        l_idx, _, _ = _packed_index(p)
+        lv = jnp.asarray(l_idx.astype(np.float64))
+        v = (lv * g - y) / (2 * lv + 1)
+        w = ((lv + 1) * g + y) / (2 * lv + 1)
+        # W_00 = X_00 = 0 identically
+        w = w.at[..., 0].set(0.0)
+        x = x.at[..., 0].set(0.0)
+        return jnp.stack([v, w, x], axis=-2)       # (.., 3, M)
+
+    def vecshc2grid(self, S) -> jnp.ndarray:
+        """(.., 3, (p+1)^2) packed (V, W, X) -> (.., 3, nt, np_)
+        Cartesian grid values (reference: VecSHC2Grid,
+        sph_harm.txx:758-859)."""
+        p, nt, np_ = self.p, self.nt, self.np_
+        S = jnp.asarray(S)
+        v, w, x = S[..., 0, :], S[..., 1, :], S[..., 2, :]
+        l_idx, _, _ = _packed_index(p)
+        lv = jnp.asarray(l_idx.astype(np.float64))
+        f_r = self.shc2grid(-(lv + 1) * v + lv * w)
+
+        gc, gs = self._unpack(v + w)               # (.., m, l)
+        xc, xs = self._unpack(x)
+        sq2 = np.sqrt(2.0)
+        batch = S.shape[:-2]
+        cdtype = jnp.complex128 if S.dtype == jnp.float64 \
+            else jnp.complex64
+        nf = np_ // 2 + 1
+        fmt = jnp.zeros(batch + (nt, nf), dtype=cdtype)
+        fmp = jnp.zeros(batch + (nt, nf), dtype=cdtype)
+        for m in range(p + 1):
+            dP, Q = self._dP[m], self._Q[m]        # (p+1, nt)
+            E = lambda M_, c: jnp.einsum("ln,...l->...n", M_, c)  # noqa
+            sq = 1.0 if m == 0 else sq2
+            At = sq * (E(dP, gc[..., m, :]) - m * E(Q, xs[..., m, :]))
+            Bt = sq * (E(dP, gs[..., m, :]) + m * E(Q, xc[..., m, :]))
+            Ap = sq * (m * E(Q, gs[..., m, :]) + E(dP, xc[..., m, :]))
+            Bp = sq * (-m * E(Q, gc[..., m, :]) + E(dP, xs[..., m, :]))
+            if m == 0:
+                fmt = fmt.at[..., :, 0].set((np_ * At).astype(cdtype))
+                fmp = fmp.at[..., :, 0].set((np_ * Ap).astype(cdtype))
+            else:
+                fmt = fmt.at[..., :, m].set((np_ / 2.0) * (At - 1j * Bt))
+                fmp = fmp.at[..., :, m].set((np_ / 2.0) * (Ap - 1j * Bp))
+        f_t = jnp.fft.irfft(fmt, n=np_, axis=-1)
+        f_p = jnp.fft.irfft(fmp, n=np_, axis=-1)
+
+        theta = jnp.asarray(self.theta)
+        ct, st = jnp.cos(theta)[:, None], jnp.sin(theta)[:, None]
+        phi = 2 * np.pi * jnp.arange(np_) / np_
+        cp, sp = jnp.cos(phi)[None, :], jnp.sin(phi)[None, :]
+        fx = st * cp * f_r + ct * cp * f_t - sp * f_p
+        fy = st * sp * f_r + ct * sp * f_t + cp * f_p
+        fz = ct * f_r - st * f_t
+        return jnp.stack([fx, fy, fz], axis=-3)
+
+    def vecshc_eval(self, S, theta, phi) -> jnp.ndarray:
+        """Evaluate the vector SH expansion at arbitrary (theta, phi)
+        on the unit sphere -> Cartesian (.., N, 3) (reference:
+        VecSHCEval, sph_harm.txx:861-911)."""
+        S = jnp.asarray(S)
+        theta = jnp.asarray(theta)
+        phi = jnp.asarray(phi)
+        return _vsh_synth_at(S[..., 0, :], S[..., 1, :], S[..., 2, :],
+                             self.p, theta, phi, jnp)
+
     # -- pointwise evaluation ----------------------------------------------
     def eval(self, shc, theta, phi):
         """Evaluate the SH expansion at arbitrary (theta, phi) points
@@ -190,6 +332,297 @@ class SphericalHarmonics:
                 out = out + sq2 * (gm * np.cos(m * phi)
                                    + hm * np.sin(m * phi))
         return out
+
+
+# -- vector spherical harmonics + Stokes sphere layer potentials --------
+#
+# Packed vector coefficients: S[..., 3, (p+1)^2] with family axis
+# (V, W, X) over the scalar packed layout.  w_00 and x_00 are
+# identically zero (W_00 = X_00 = 0).
+
+
+@functools.lru_cache(maxsize=None)
+def _packed_index(p: int):
+    """Constant index maps for the packed layout: for packed slot k,
+    (l_k, m_k, is_sin_k)."""
+    l_idx, m_idx, s_idx = [], [], []
+    for l in range(p + 1):
+        l_idx.append(l), m_idx.append(0), s_idx.append(0)
+        for m in range(1, l + 1):
+            l_idx.extend([l, l]), m_idx.extend([m, m])
+            s_idx.extend([0, 1])
+    return (np.array(l_idx), np.array(m_idx), np.array(s_idx))
+
+
+def _legendre_trio(p: int, ct, st, xp=jnp):
+    """Traceable normalized associated-Legendre tables at arbitrary
+    points: P[m][l] (N,), dPdt[m][l] (theta-derivative, pole-safe
+    ladder), Q[m][l] = P/sin(theta) (pole-safe recurrence, m >= 1).
+
+    Returns nested lists indexed [m][l] of (N,) arrays (None where
+    l < m).  Works with xp = numpy or jax.numpy (traceable for
+    autodiff-based traction evaluation).
+    """
+    P = [[None] * (p + 2) for _ in range(p + 3)]
+    Q = [[None] * (p + 2) for _ in range(p + 3)]
+    c00 = 1.0 / np.sqrt(4 * np.pi)
+    one = xp.ones_like(ct)
+    P[0][0] = c00 * one
+    Q[1][1] = -np.sqrt(3.0 / 2.0) * c00 * one      # P[1][1]/sin(t)
+    P[1][1] = Q[1][1] * st
+    for m in range(2, p + 2):
+        f = -np.sqrt((2 * m + 1) / (2.0 * m))
+        Q[m][m] = f * st * Q[m - 1][m - 1]
+        P[m][m] = Q[m][m] * st
+    for m in range(p + 2):
+        if m + 1 <= p + 1:
+            f = np.sqrt(2 * m + 3.0)
+            P[m][m + 1] = f * ct * P[m][m]
+            if m >= 1:
+                Q[m][m + 1] = f * ct * Q[m][m]
+        for l in range(m + 2, p + 2):
+            a = np.sqrt((4.0 * l * l - 1) / (l * l - m * m))
+            b = np.sqrt(((l - 1.0) ** 2 - m * m)
+                        / (4.0 * (l - 1.0) ** 2 - 1))
+            P[m][l] = a * (ct * P[m][l - 1] - b * P[m][l - 2])
+            if m >= 1:
+                Q[m][l] = a * (ct * Q[m][l - 1] - b * Q[m][l - 2])
+    # pole-safe derivative ladder (Condon-Shortley-phased normalized
+    # functions; verified against finite differences):
+    # dP[m][l] = (sqrt((l-m)(l+m+1)) P[m+1][l]
+    #             - sqrt((l+m)(l-m+1)) P[m-1][l]) / 2,  P[-1] := -P[1]
+    dP = [[None] * (p + 2) for _ in range(p + 2)]
+    for m in range(p + 2):
+        for l in range(m, p + 2):
+            if m == 0:
+                lo = -P[1][l] if l >= 1 else 0.0
+            else:
+                lo = P[m - 1][l]
+            hi = P[m + 1][l] if (m + 1 <= l) else 0.0
+            dP[m][l] = 0.5 * (np.sqrt((l - m) * (l + m + 1.0)) * hi
+                              - np.sqrt((l + m) * (l - m + 1.0)) * lo)
+    return P, dP, Q
+
+
+def _vsh_bases(p: int, theta, phi, xp=jnp):
+    """Angular basis matrices at N points, packed over (p+1)^2 slots:
+    BY (N,M) = Y; BT (N,M) = dY/dtheta; BP (N,M) = (dY/dphi)/sin(theta)
+    (pole-safe: uses Q = P/sin).  Real basis: Y^c = sq2*P*cos(m phi),
+    Y^s = sq2*P*sin(m phi) (sq2 = 1 at m=0)."""
+    ct, st = xp.cos(theta), xp.sin(theta)
+    P, dP, Q = _legendre_trio(p, ct, st, xp)
+    l_idx, m_idx, s_idx = _packed_index(p)
+    BY, BT, BP = [], [], []
+    for k in range(len(l_idx)):
+        l, m, is_sin = int(l_idx[k]), int(m_idx[k]), int(s_idx[k])
+        sq = 1.0 if m == 0 else np.sqrt(2.0)
+        cosm, sinm = xp.cos(m * phi), xp.sin(m * phi)
+        trig = sinm if is_sin else cosm
+        BY.append(sq * P[m][l] * trig)
+        BT.append(sq * dP[m][l] * trig)
+        if m == 0:
+            BP.append(xp.zeros_like(theta))
+        else:
+            # d/dphi: cos -> -m sin;  sin -> m cos
+            dtrig = (m * cosm) if is_sin else (-m * sinm)
+            BP.append(sq * Q[m][l] * dtrig)
+    stack = xp.stack
+    return (stack(BY, axis=-1), stack(BT, axis=-1),
+            stack(BP, axis=-1))
+
+
+def _sph_to_cart(theta, phi, u_r, u_t, u_p, xp=jnp):
+    """Rotate spherical components to Cartesian (the Q matrix of
+    sph_harm.txx:887-895)."""
+    ct, st = xp.cos(theta), xp.sin(theta)
+    cp, sp = xp.cos(phi), xp.sin(phi)
+    ux = st * cp * u_r + ct * cp * u_t - sp * u_p
+    uy = st * sp * u_r + ct * sp * u_t + cp * u_p
+    uz = ct * u_r - st * u_t
+    return xp.stack([ux, uy, uz], axis=-1)
+
+
+def _vsh_synth_at(veff, weff, xeff, p, theta, phi, xp=jnp,
+                  per_target: bool = False):
+    """Evaluate sum_k veff V_k + weff W_k + xeff X_k at (theta, phi).
+    Coefficients are shared (.., M) by default, or per-target
+    (.., N, M) with per_target=True.  Returns Cartesian (.., N, 3)."""
+    BY, BT, BP = _vsh_bases(p, theta, phi, xp)   # (N, M)
+    l_idx, _, _ = _packed_index(p)
+    lv = l_idx.astype(np.float64)
+    geff = veff + weff
+    contract = (lambda c, B: xp.sum(c * B, axis=-1)) if per_target \
+        else (lambda c, B: xp.einsum("...k,nk->...n", c, B))
+    u_r = contract(-(lv + 1) * veff + lv * weff, BY)
+    u_t = contract(geff, BT) - contract(xeff, BP)
+    u_p = contract(geff, BP) + contract(xeff, BT)
+    return _sph_to_cart(theta, phi, u_r, u_t, u_p, xp)
+
+
+def _coord_to_sph(coord, xp=jnp):
+    x, y, z = coord[..., 0], coord[..., 1], coord[..., 2]
+    rho = xp.sqrt(x * x + y * y)
+    r = xp.sqrt(x * x + y * y + z * z)
+    theta = xp.arctan2(rho, z)
+    phi = xp.arctan2(y, x)
+    return r, theta, phi
+
+
+def _stokes_factors(kind: str, p: int, r, interior: bool, xp=jnp):
+    """Per-degree radius factors (fVV, fVW, fWW, fWV, fXX), each
+    (N, p+1): fAB = contribution of an A-family density coefficient to
+    the B-family of the resulting field.  Coefficient tables from the
+    reference (SL sph_harm.txx:1050-1090, DL 1258-1290, KSelf
+    1873-1905)."""
+    n = xp.asarray(np.arange(p + 1, dtype=np.float64))
+    r = r[..., None]                               # (N, 1)
+    rp = lambda e: r ** e                          # noqa: E731
+    z = xp.zeros_like(r * n)
+    if kind == "SL":
+        if interior:
+            fVV = n / ((2 * n + 1) * (2 * n + 3)) * rp(n + 1)
+            fVW = -(n + 1) / (4 * n + 2) * (rp(n - 1) - rp(n + 1))
+            fWW = (n + 1) / ((2 * n + 1) * (2 * n - 1)) * rp(n - 1)
+            fWV = z
+            fXX = 1 / (2 * n + 1) * rp(n)
+        else:
+            fVV = n / ((2 * n + 1) * (2 * n + 3)) * rp(-n - 2)
+            fVW = z
+            fWW = (n + 1) / ((2 * n + 1) * (2 * n - 1)) * rp(-n)
+            fWV = n / (4 * n + 2) * (rp(-n - 2) - rp(-n))
+            fXX = 1 / (2 * n + 1) * rp(-n - 1)
+    elif kind == "DL":
+        if interior:
+            fVV = -2 * n * (n + 2) / ((2 * n + 1) * (2 * n + 3)) \
+                * rp(n + 1)
+            fVW = -(n + 1) * (n + 2) / (2 * n + 1) \
+                * (rp(n + 1) - rp(n - 1))
+            fWW = -(2 * n * n + 1) / ((2 * n + 1) * (2 * n - 1)) \
+                * rp(n - 1)
+            fWV = z
+            fXX = -(n + 2) / (2 * n + 1) * rp(n)
+        else:
+            fVV = (2 * n * n + 4 * n + 3) / ((2 * n + 1) * (2 * n + 3)) \
+                * rp(-n - 2)
+            fVW = z
+            fWW = 2 * (n + 1) * (n - 1) / ((2 * n + 1) * (2 * n - 1)) \
+                * rp(-n)
+            fWV = 2 * n * (n - 1) / (4 * n + 2) * (rp(-n - 2) - rp(-n))
+            fXX = (n - 1) / (2 * n + 1) * rp(-n - 1)
+    elif kind == "KSELF":
+        if interior:
+            fVV = (2 * n * n + 4 * n + 3) / ((2 * n + 1) * (2 * n + 3)) \
+                * rp(n)
+            fVW = (n + 1) * (n - 1) / (2 * n + 1) * (rp(n) - rp(n - 2))
+            fWW = 2 * (n + 1) * (n - 1) / ((2 * n + 1) * (2 * n - 1)) \
+                * rp(n - 2)
+            fWV = z
+            fXX = (n - 1) / (2 * n + 1) * rp(n - 1)
+        else:
+            fVV = -2 * n * (n + 2) / ((2 * n + 1) * (2 * n + 3)) \
+                * rp(-n - 3)
+            fVW = z
+            fWW = -(2 * n * n + 1) / ((2 * n + 1) * (2 * n - 1)) \
+                * rp(-n - 1)
+            fWV = n * (n + 2) / (2 * n + 1) * (rp(-n - 1) - rp(-n - 3))
+            fXX = -(n + 2) / (2 * n + 1) * rp(-n - 2)
+    else:
+        raise ValueError(kind)
+    # n = 0: only the V family is nonzero in the density; guard the
+    # 1/(2n-1)-type singularities on unused families.
+    mask0 = xp.asarray((np.arange(p + 1) == 0))
+    fWW = xp.where(mask0, 0.0, fWW)
+    fWV = xp.where(mask0, 0.0, fWV)
+    fXX = xp.where(mask0, 0.0, fXX)
+    return fVV, fVW, fWW, fWV, fXX
+
+
+def _stokes_apply(kind: str, S, p: int, coord, interior: bool, xp=jnp):
+    """Shared spectral layer-potential evaluator: S (.., 3, M) packed
+    (V, W, X) density coefficients, coord (N, 3) -> (.., N, 3)."""
+    S = xp.asarray(S)
+    coord = xp.asarray(coord)
+    r, theta, phi = _coord_to_sph(coord, xp)
+    fVV, fVW, fWW, fWV, fXX = _stokes_factors(kind, p, r, interior, xp)
+    l_idx, _, _ = _packed_index(p)
+    v = S[..., 0, :][..., None, :]                 # (.., 1, M)
+    w = S[..., 1, :][..., None, :]
+    x = S[..., 2, :][..., None, :]
+    Fl = lambda f: f[..., l_idx]                   # noqa: E731
+    veff = Fl(fVV) * v + Fl(fWV) * w               # (.., N, M)
+    weff = Fl(fVW) * v + Fl(fWW) * w
+    xeff = Fl(fXX) * x
+    return _vsh_synth_at(veff, weff, xeff, p, theta, phi, xp,
+                         per_target=True)
+
+
+def stokes_eval_sl(S, p: int, coord, interior: bool):
+    """Stokes single-layer potential from VSH density coefficients
+    (reference: StokesEvalSL, sph_harm.hpp:122-129, impl
+    sph_harm.txx:913-1125)."""
+    return _stokes_apply("SL", S, p, coord, interior)
+
+
+def stokes_eval_dl(S, p: int, coord, interior: bool):
+    """Stokes double-layer potential (reference: StokesEvalDL,
+    sph_harm.txx:1127-1339)."""
+    return _stokes_apply("DL", S, p, coord, interior)
+
+
+def stokes_eval_kself(S, p: int, coord, interior: bool):
+    """Traction of the single-layer field with radial normal
+    (reference: StokesEvalKSelf, sph_harm.txx:1739-2000)."""
+    return _stokes_apply("KSELF", S, p, coord, interior)
+
+
+def stokes_pressure_sl(S, p: int, coord, interior: bool, xp=jnp):
+    """Pressure of the single-layer Stokes field (the PV/PW terms of
+    the reference's StokesEvalKL, sph_harm.txx:1590-1636):
+    interior p(x) = sum v_nm (n+1) r^n Y_nm; exterior
+    p(x) = sum w_nm n r^{-n-1} Y_nm."""
+    S = xp.asarray(S)
+    coord = xp.asarray(coord)
+    r, theta, phi = _coord_to_sph(coord, xp)
+    n = xp.asarray(np.arange(p + 1, dtype=np.float64))
+    l_idx, _, _ = _packed_index(p)
+    if interior:
+        fac = ((n + 1) * r[..., None] ** n)[..., l_idx]
+        c = S[..., 0, :]
+    else:
+        fac = (n * r[..., None] ** (-n - 1))[..., l_idx]
+        c = S[..., 1, :]
+    BY, _, _ = _vsh_bases(p, theta, phi, xp)
+    return xp.sum((c[..., None, :] * fac) * BY, axis=-1)
+
+
+def stokes_eval_kl(S, p: int, coord, norm, interior: bool):
+    """Traction of the single-layer Stokes field at arbitrary targets
+    with arbitrary normals (reference: StokesEvalKL,
+    sph_harm.txx:1341-1739).
+
+    TPU-first design: t = (grad u + grad u^T - p I) . n with grad u by
+    forward-mode autodiff of the spectral single-layer velocity and p
+    from the spectral pressure — replacing the reference's hand-derived
+    VSH-derivative tables with jax.jvp.
+    """
+    import jax
+
+    S = jnp.asarray(S)
+    coord = jnp.asarray(coord, dtype=jnp.result_type(float))
+    norm = jnp.asarray(norm, dtype=coord.dtype)
+
+    u_fn = lambda c: stokes_eval_sl(S, p, c, interior)   # noqa: E731
+    cols = []
+    for j in range(3):
+        tang = jnp.zeros_like(coord).at[..., j].set(1.0)
+        _, du_j = jax.jvp(u_fn, (coord,), (tang,))
+        cols.append(du_j)                          # (.., N, 3) = du/dx_j
+    J = jnp.stack(cols, axis=-1)                   # (.., N, 3(i), 3(j))
+    pr = stokes_pressure_sl(S, p, coord, interior)
+    sym = J + jnp.swapaxes(J, -1, -2)
+    t = jnp.einsum("...ij,...j->...i", sym, norm) \
+        - pr[..., None] * norm
+    return t
 
 
 def _legendre_at(p: int, ct: np.ndarray):

@@ -104,3 +104,192 @@ def test_laplace_sphere_eigen():
     shc = np.asarray(sh.grid2shc(f))
     f2 = np.asarray(sh.shc2grid(shc))
     assert np.abs(f2 - f).max() < 1e-9  # spectral accuracy at p=16
+
+
+# -- vector spherical harmonics + Stokes sphere operators ----------------
+# (reference anchors: Grid2VecSHC/VecSHC2Grid/VecSHCEval
+# sph_harm.txx:656-911; StokesEvalSL/DL/KL/KSelf tested against
+# brute-force grid quadrature exactly as SphericalHarmonics::test_stokes,
+# sph_harm.txx:41-245.)
+
+import jax.numpy as jnp
+
+from sctl_tpu.linalg.sph_harm import (stokes_eval_sl, stokes_eval_dl,
+                                      stokes_eval_kl, stokes_eval_kself,
+                                      _legendre_trio)
+
+
+def test_legendre_trio_derivative_and_csc():
+    """Pole-safe dP/Q tables agree with finite differences / direct
+    division away from poles."""
+    p = 8
+    th = np.linspace(0.2, np.pi - 0.2, 25)
+    ct, st = np.cos(th), np.sin(th)
+    P, dP, Q = _legendre_trio(p, ct, st, np)
+    eps = 1e-6
+    Pp, _, _ = _legendre_trio(p, np.cos(th + eps), np.sin(th + eps), np)
+    Pm, _, _ = _legendre_trio(p, np.cos(th - eps), np.sin(th - eps), np)
+    for m in range(p + 1):
+        for l in range(m, p + 1):
+            fd = (Pp[m][l] - Pm[m][l]) / (2 * eps)
+            np.testing.assert_allclose(dP[m][l], fd, atol=1e-8)
+            if m >= 1:
+                np.testing.assert_allclose(Q[m][l], P[m][l] / st,
+                                           atol=1e-12)
+
+
+def test_vector_roundtrip():
+    """vecshc2grid -> grid2vecshc is identity for band-limited fields."""
+    p = 7
+    sh = SphericalHarmonics(p, nt=p + 3, np_=2 * p + 4)
+    S = RNG.normal(size=(3, sh_dim(p)))
+    S[1, 0] = 0.0
+    S[2, 0] = 0.0          # W_00 = X_00 = 0
+    F = np.asarray(sh.vecshc2grid(jnp.asarray(S)))
+    assert F.shape == (3, sh.nt, sh.np_)
+    S2 = np.asarray(sh.grid2vecshc(jnp.asarray(F)))
+    np.testing.assert_allclose(S2, S, atol=1e-11)
+
+
+def test_vecshc_eval_matches_grid():
+    """Pointwise vector evaluation agrees with grid synthesis."""
+    p = 5
+    sh = SphericalHarmonics(p)
+    S = RNG.normal(size=(3, sh_dim(p)))
+    S[1, 0] = S[2, 0] = 0.0
+    F = np.asarray(sh.vecshc2grid(jnp.asarray(S)))
+    T, Ph = np.meshgrid(sh.theta, 2 * np.pi * np.arange(sh.np_) / sh.np_,
+                        indexing="ij")
+    U = np.asarray(sh.vecshc_eval(jnp.asarray(S), T.ravel(), Ph.ravel()))
+    U = U.reshape(sh.nt, sh.np_, 3).transpose(2, 0, 1)
+    np.testing.assert_allclose(U, F, atol=1e-11)
+
+
+class _StokesOracle:
+    """Brute-force quadrature of the Stokes kernels over a fine sphere
+    grid (the lambdas of sph_harm.txx:66-205)."""
+
+    def __init__(self, p, S, NT=64, NP=128):
+        sh = SphericalHarmonics(p, NT, NP)
+        Fg = np.asarray(sh.vecshc2grid(jnp.asarray(S)))
+        ct, st = np.cos(sh.theta), np.sin(sh.theta)
+        phg = 2 * np.pi * np.arange(NP) / NP
+        self.xs = np.stack(
+            [st[:, None] * np.cos(phg)[None, :],
+             st[:, None] * np.sin(phg)[None, :],
+             np.broadcast_to(ct[:, None], (NT, NP))], -1).reshape(-1, 3)
+        self.fs = Fg.reshape(3, -1).T
+        self.qw = (np.asarray(sh._w)[:, None]
+                   * np.full(NP, 2 * np.pi / NP)).ravel()
+
+    def sl(self, trg):
+        dr = self.xs - trg
+        r2 = (dr ** 2).sum(1)
+        r1 = np.sqrt(r2)
+        rdotf = (dr * self.fs).sum(1)
+        s = 1 / (8 * np.pi)
+        out = s * (self.fs / r1[:, None]
+                   + dr * (rdotf / (r2 * r1))[:, None])
+        return (out * self.qw[:, None]).sum(0)
+
+    def dl(self, trg):
+        dr = self.xs - trg
+        r2 = (dr ** 2).sum(1)
+        r5 = r2 ** 2 * np.sqrt(r2)
+        rdotn = (dr * self.xs).sum(1)
+        rdotf = (dr * self.fs).sum(1)
+        s = 6 / (8 * np.pi)
+        return (-s * dr * (rdotn * rdotf / r5)[:, None]
+                * self.qw[:, None]).sum(0)
+
+    def kl(self, trg, nor):
+        dr = trg - self.xs
+        r2 = (dr ** 2).sum(1)
+        invr = 1 / np.sqrt(r2)
+        invr3, invr5 = invr ** 3, invr ** 5
+        fdotr = (dr * self.fs).sum(1)
+        s = 1 / (8 * np.pi)
+        du = np.empty((len(self.xs), 3, 3))
+        for i in range(3):
+            for j in range(3):
+                t = -3 * dr[:, i] * dr[:, j] * fdotr * invr5
+                if i == j:
+                    t = t + fdotr * invr3
+                else:
+                    t = t + (dr[:, i] * self.fs[:, j]
+                             - dr[:, j] * self.fs[:, i]) * invr3
+                du[:, i, j] = t * s
+        pr = 2 * fdotr * invr3 * s
+        K = du + du.transpose(0, 2, 1)
+        for i in range(3):
+            K[:, i, i] -= pr
+        return (np.einsum("nij,j->ni", K, nor)
+                * self.qw[:, None]).sum(0)
+
+
+def test_stokes_layer_potentials():
+    """SL/DL/KL vs brute-force quadrature at off-surface targets
+    (the reference's test_stokes oracle, sph_harm.txx:41-245)."""
+    p = 5
+    S = RNG.normal(size=(3, sh_dim(p)))
+    S[1, 0] = S[2, 0] = 0.0
+    oracle = _StokesOracle(p, S, NT=72, NP=144)
+    Sj = jnp.asarray(S)
+    for R0 in (0.15, 0.55, 1.7, 3.0):
+        interior = R0 < 1
+        d = RNG.normal(size=3)
+        d /= np.linalg.norm(d)
+        trg = R0 * d
+        nor = RNG.normal(size=3)
+        nor /= np.linalg.norm(nor)
+        sl = np.asarray(stokes_eval_sl(Sj, p, trg[None], interior))[0]
+        dl = np.asarray(stokes_eval_dl(Sj, p, trg[None], interior))[0]
+        kl = np.asarray(stokes_eval_kl(Sj, p, trg[None], nor[None],
+                                       interior))[0]
+        sl_d, dl_d = oracle.sl(trg), oracle.dl(trg)
+        kl_d = oracle.kl(trg, nor)
+        tol = 2e-5 if 0.4 < R0 < 2.5 else 1e-8
+        assert np.abs(sl - sl_d).max() <= tol * max(np.abs(sl_d).max(),
+                                                    1e-3), R0
+        assert np.abs(dl - dl_d).max() <= 50 * tol * max(
+            np.abs(dl_d).max(), 1e-3), R0
+        assert np.abs(kl - kl_d).max() <= 50 * tol * max(
+            np.abs(kl_d).max(), 1e-3), R0
+
+
+def test_stokes_kself_is_radial_traction():
+    """KSelf == KL with radial normal (spectral identity, both
+    interior and exterior)."""
+    p = 6
+    S = RNG.normal(size=(3, sh_dim(p)))
+    S[1, 0] = S[2, 0] = 0.0
+    Sj = jnp.asarray(S)
+    for R0, interior in ((0.6, True), (1.5, False)):
+        d = RNG.normal(size=(4, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        trg = R0 * d
+        ks = np.asarray(stokes_eval_kself(Sj, p, trg, interior))
+        kl = np.asarray(stokes_eval_kl(Sj, p, trg, d, interior))
+        np.testing.assert_allclose(ks, kl, atol=1e-11)
+
+
+def test_stokes_dl_jump():
+    """Double-layer jump relation on the sphere: the interior and
+    exterior limits differ by the density (u_ext - u_int = f for this
+    kernel's orientation: dr = x_src - x_trg with the -6/(8 pi)
+    stresslet scaling, sph_harm.txx:105-144)."""
+    p = 4
+    S = RNG.normal(size=(3, sh_dim(p)))
+    S[1, 0] = S[2, 0] = 0.0
+    Sj = jnp.asarray(S)
+    d = RNG.normal(size=(6, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    eps = 1e-7
+    u_in = np.asarray(stokes_eval_dl(Sj, p, (1 - eps) * d, True))
+    u_out = np.asarray(stokes_eval_dl(Sj, p, (1 + eps) * d, False))
+    sh = SphericalHarmonics(p)
+    th = np.arccos(np.clip(d[:, 2], -1, 1))
+    ph = np.arctan2(d[:, 1], d[:, 0])
+    f = np.asarray(sh.vecshc_eval(Sj, th, ph))
+    jump = u_out - u_in
+    np.testing.assert_allclose(jump, f, rtol=0, atol=2e-5)
