@@ -56,14 +56,31 @@ class Comm:
     """
 
     def __init__(self, axis: Optional[str] = None,
-                 mesh: Optional[Mesh] = None):
+                 mesh: Optional[Mesh] = None,
+                 groups: Optional[Sequence[Sequence[int]]] = None):
         self.axis = axis
         self.mesh = mesh
+        self.groups = None if groups is None else [list(g)
+                                                   for g in groups]
         if axis is None:
             self._size = 1
         else:
             assert mesh is not None, "Comm over an axis needs its Mesh"
             self._size = mesh.shape[axis]
+        if self.groups is not None:
+            sizes = {len(g) for g in self.groups}
+            assert len(sizes) == 1, \
+                "split groups must be equal-sized (SPMD shapes are static)"
+            assert sorted(sum(self.groups, [])) == list(
+                range(mesh.shape[axis])), "groups must partition the axis"
+            self._size = len(self.groups[0])
+            # rank-within-group lookup table (static)
+            import numpy as _np
+            tbl = _np.zeros(mesh.shape[axis], _np.int32)
+            for g in self.groups:
+                for i, rk in enumerate(g):
+                    tbl[rk] = i
+            self._group_rank_tbl = tbl
 
     # ---- introspection ----------------------------------------------
 
@@ -83,9 +100,35 @@ class Comm:
         return self._size
 
     def rank(self):
+        """Rank within this communicator (group-local after split)."""
         if self.axis is None:
             return jnp.int32(0)
-        return lax.axis_index(self.axis)
+        r = lax.axis_index(self.axis)
+        if self.groups is not None:
+            return jnp.asarray(self._group_rank_tbl)[r]
+        return r
+
+    def split(self, colors: Sequence[int]) -> "Comm":
+        """Sub-communicator by color (reference: Comm::Split,
+        comm.hpp:98): ranks with equal colors[rank] form a group; each
+        group's collectives stay within the group (XLA
+        axis_index_groups).  Groups must be equal-sized — SPMD programs
+        have one static shape per collective (the reference's MPI
+        split has no such restriction; unequal groups would need
+        separate programs per group).  Key order = rank order."""
+        assert self.axis is not None and self.groups is None, \
+            "split: needs a top-level mesh communicator"
+        import numpy as _np
+        colors = _np.asarray(list(colors))
+        assert len(colors) == self._size
+        groups = [list(_np.where(colors == c)[0])
+                  for c in sorted(set(colors.tolist()))]
+        return Comm(self.axis, self.mesh, groups=groups)
+
+    @property
+    def _gkw(self):
+        return ({"axis_index_groups": self.groups}
+                if self.groups is not None else {})
 
     # ---- wrapping ------------------------------------------------------
 
@@ -109,9 +152,10 @@ class Comm:
         if self.axis is None:
             return x
         profile.add_comm(1, _nbytes(x))
-        red = {"sum": lambda v: lax.psum(v, self.axis),
-               "max": lambda v: lax.pmax(v, self.axis),
-               "min": lambda v: lax.pmin(v, self.axis)}[op]
+        kw = self._gkw
+        red = {"sum": lambda v: lax.psum(v, self.axis, **kw),
+               "max": lambda v: lax.pmax(v, self.axis, **kw),
+               "min": lambda v: lax.pmin(v, self.axis, **kw)}[op]
         return jax.tree_util.tree_map(red, x)
 
     def scan(self, x, op: str = "sum", exclusive: bool = False):
@@ -123,7 +167,7 @@ class Comm:
         r = self.rank()
 
         def one(v):
-            g = lax.all_gather(v, self.axis)  # (p, ...)
+            g = lax.all_gather(v, self.axis, **self._gkw)  # (p, ...)
             idx = jnp.arange(self._size)
             mask = (idx < r) if exclusive else (idx <= r)
             mshape = (self._size,) + (1,) * (g.ndim - 1)
@@ -148,7 +192,7 @@ class Comm:
             fv = v.astype(jnp.float64) if jnp.issubdtype(
                 v.dtype, jnp.integer) else v
             out = lax.psum(jnp.where(is_root, fv, jnp.zeros_like(fv)),
-                           self.axis)
+                           self.axis, **self._gkw)
             return out.astype(v.dtype)
 
         return jax.tree_util.tree_map(one, x)
@@ -160,7 +204,8 @@ class Comm:
             return x
         profile.add_comm(1, _nbytes(x) * self._size)
         return jax.tree_util.tree_map(
-            lambda v: lax.all_gather(v, self.axis, tiled=tiled), x)
+            lambda v: lax.all_gather(v, self.axis, tiled=tiled,
+                                     **self._gkw), x)
 
     def alltoall(self, x, split_axis: int = 0, concat_axis: int = 0):
         """Equal-split all-to-all (reference: comm.txx:~395)."""
@@ -169,13 +214,17 @@ class Comm:
         profile.add_comm(1, _nbytes(x))
         return jax.tree_util.tree_map(
             lambda v: lax.all_to_all(v, self.axis, split_axis=split_axis,
-                                     concat_axis=concat_axis, tiled=True),
+                                     concat_axis=concat_axis, tiled=True,
+                                     **self._gkw),
             x)
 
     def ppermute(self, x, perm: Sequence):
+        """perm is in GROUP-LOCAL ranks after a split."""
         if self.axis is None:
             return x
         profile.add_comm(1, _nbytes(x))
+        if self.groups is not None:
+            perm = [(g[s], g[d]) for g in self.groups for (s, d) in perm]
         return jax.tree_util.tree_map(
             lambda v: lax.ppermute(v, self.axis, perm=perm), x)
 
@@ -189,6 +238,39 @@ class Comm:
             return x
         perm = [(i, (i + shift) % p) for i in range(p)]
         return self.ppermute(x, perm)
+
+    def send_recv(self, x, pairs: Sequence, fill=0):
+        """General tag-free point-to-point exchange (reference:
+        Isend/Irecv/Wait, comm.hpp:130-147): `pairs` is a static list
+        of (src, dst) rank pairs; each src's `x` arrives at its dst,
+        ranks receiving nothing get `fill`.  XLA's static schedule
+        subsumes MPI tags (message matching is positional in the
+        program), and completion is a data dependency, so there is no
+        separate Wait.  Duplicate destinations are rejected (one
+        receive buffer per call — issue two calls for two messages)."""
+        if self.axis is None:
+            return x
+        dsts = [d for (_, d) in pairs]
+        assert len(set(dsts)) == len(dsts), \
+            "send_recv: one message per destination per call"
+        recv_mask = [False] * self._size
+        for d in dsts:
+            recv_mask[d % self._size] = True
+
+        def one(v):
+            out = lax.ppermute(v, self.axis,
+                               perm=[(s, d) for (s, d) in (
+                                   [(g[s], g[d]) for g in self.groups
+                                    for (s, d) in pairs]
+                                   if self.groups is not None
+                                   else pairs)])
+            if all(recv_mask):
+                return out
+            got = jnp.asarray(recv_mask)[self.rank()]
+            return jnp.where(got, out, jnp.full_like(out, fill))
+
+        profile.add_comm(len(pairs), _nbytes(x))
+        return jax.tree_util.tree_map(one, x)
 
     def barrier(self):
         """No-op: XLA collectives are themselves synchronizing."""

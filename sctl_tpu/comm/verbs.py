@@ -139,9 +139,19 @@ def alltoallv_ring(comm: Comm, data, send_cnt, recv_capacity: int):
     return out, recv_cnt
 
 
-def route(comm: Comm, data, cnt, dest, recv_capacity: int):
+# Above this many staged rows (p * C) the O(p*C) all_gather baseline
+# is replaced by the O(C) ring inside `route` — every verb (global
+# sort, partitions, scatter) inherits the choice.
+RING_THRESHOLD_ROWS = 1 << 21
+
+
+def route(comm: Comm, data, cnt, dest, recv_capacity: int,
+          impl: str = "auto"):
     """Route each valid row i to rank dest[i] (the sparse Ialltoallv
     pattern, comm.txx:363).  Stable within (source, destination).
+
+    impl: "auto" (ring when p*C exceeds RING_THRESHOLD_ROWS, else the
+    all_gather baseline), "gather", or "ring".
 
     Returns (recv_data, recv_cnt).
     """
@@ -154,7 +164,10 @@ def route(comm: Comm, data, cnt, dest, recv_capacity: int):
     dest_sorted = dest[order]
     bounds = jnp.searchsorted(dest_sorted, jnp.arange(p + 1), side="left")
     send_cnt = jnp.diff(bounds)
-    return alltoallv(comm, data_sorted, send_cnt, recv_capacity)
+    use_ring = (impl == "ring" or
+                (impl == "auto" and p * C > RING_THRESHOLD_ROWS))
+    a2av = alltoallv_ring if use_ring else alltoallv
+    return a2av(comm, data_sorted, send_cnt, recv_capacity)
 
 
 def partition_n(comm: Comm, data, cnt, target_cnt, capacity: int):

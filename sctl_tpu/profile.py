@@ -162,6 +162,25 @@ class Profile:
             if fname == "comm_bytes":
                 return (deltas.get("COMM_BYTES", 0.0)
                         + deltas.get("COLL_BYTES", 0.0))
+            # distributed reductions over controller processes
+            # (reference: CommReduceExpr t_min/t_max/t_avg/f_total,
+            # profile.txx:293-304).  Under the single-controller model
+            # one process drives all chips; with multi-process JAX the
+            # reduction runs across controllers.
+            if fname in ("t_min", "t_max", "t_avg", "f_total",
+                         "f/s_total"):
+                base = (dt if fname.startswith("t_")
+                        else deltas.get("FLOP", 0.0) / 1e9)
+                vals = _process_gather(base)
+                if fname == "t_min":
+                    return min(vals)
+                if fname == "t_max":
+                    return max(vals)
+                if fname == "t_avg":
+                    return sum(vals) / len(vals)
+                if fname == "f_total":
+                    return sum(vals)
+                return sum(vals) / max(dt, 1e-12)
             if fname in _data.fields:
                 return _data.fields[fname](deltas, dt)
             return deltas.get(fname, 0.0)
@@ -211,6 +230,20 @@ class Profile:
             jax.profiler.stop_trace()
 
 
+def _process_gather(v: float):
+    """Gather a host scalar from every controller process (1-element
+    list in the single-controller case)."""
+    if jax.process_count() == 1:
+        return [v]
+    try:
+        from jax.experimental import multihost_utils
+        import numpy as _np
+        return list(_np.atleast_1d(
+            multihost_utils.process_allgather(_np.float64(v))))
+    except Exception:
+        return [v]
+
+
 def _sync_devices():
     try:
         for d in jax.live_arrays():
@@ -219,17 +252,50 @@ def _sync_devices():
         pass
 
 
+def _tracing() -> bool:
+    try:
+        from jax._src import core as _core
+        return not _core.trace_state_clean()
+    except Exception:
+        return False
+
+
+def _bump_counters(pairs):
+    for name, v in pairs:
+        Profile.increment_counter(name, float(v))
+
+
+def _credit(pairs):
+    """Increment counters; when called from inside a traced (jit)
+    region, register a debug callback so the increment fires once per
+    EXECUTION, not once per trace — otherwise cached executable reruns
+    would be invisible (the reference counts at runtime,
+    comm.txx:229-230).  Gated on profile_level so the hot path pays
+    nothing when profiling is off (the reference's SCTL_PROFILE
+    compile-time gate, profile.txx:529-533).
+
+    Caveats: inside shard_map the callback fires once per SHARD, so
+    counts aggregate over ranks (the single-controller analogue of
+    per-rank counters); an eagerly-executed (un-jitted) shard_map does
+    not deliver debug callbacks — jit the enclosing computation.  Read
+    counters after `jax.effects_barrier()`."""
+    if not _tracing():
+        _bump_counters(pairs)
+        return
+    if not _data.enabled or config.profile_level < 1:
+        return
+    jax.debug.callback(lambda: _bump_counters(pairs))
+
+
 def add_flops(n: float):
     """Credit FLOPs from a kernel's static cost model
     (reference: generic-kernel.txx:188)."""
-    Profile.increment_counter("FLOP", n)
+    _credit((("FLOP", n),))
 
 
 def add_comm(count: int, nbytes: float, collective: bool = True):
     """Credit a communication event (reference: comm.txx:229-230)."""
     if collective:
-        Profile.increment_counter("COLL_COUNT", count)
-        Profile.increment_counter("COLL_BYTES", nbytes)
+        _credit((("COLL_COUNT", count), ("COLL_BYTES", nbytes)))
     else:
-        Profile.increment_counter("COMM_COUNT", count)
-        Profile.increment_counter("COMM_BYTES", nbytes)
+        _credit((("COMM_COUNT", count), ("COMM_BYTES", nbytes)))

@@ -295,3 +295,120 @@ def test_alltoallv_ring_matches_allgather(mesh8):
         shard(mesh8, send_cnt.reshape(-1)))
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2))
     assert (np.asarray(dn) == 0).all()
+
+
+def test_comm_split(mesh8):
+    """Split into equal-color groups (reference: Comm::Split,
+    comm.hpp:98): each group's allreduce stays within the group and
+    rank() is group-local."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    comm = Comm.world(mesh8)
+    sub = comm.split([0, 0, 0, 0, 1, 1, 1, 1])
+    assert sub.size() == 4
+
+    def fn(x):
+        s = sub.allreduce(x)
+        return s, sub.rank()[None].astype(jnp.float64)
+
+    x = jax.device_put(jnp.arange(8.0),
+                       NamedSharding(mesh8, P("x")))
+    s, r = jax.jit(comm.run(fn, in_specs=P("x"),
+                            out_specs=(P("x"), P("x"))))(x)
+    # group 0 holds 0+1+2+3=6, group 1 holds 4+5+6+7=22
+    np.testing.assert_allclose(np.asarray(s),
+                               [6, 6, 6, 6, 22, 22, 22, 22])
+    np.testing.assert_allclose(np.asarray(r), [0, 1, 2, 3, 0, 1, 2, 3])
+
+
+def test_comm_split_strided(mesh8):
+    comm = Comm.world(mesh8)
+    sub = comm.split([0, 1, 0, 1, 0, 1, 0, 1])
+    x = jnp.ones(8)
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    xd = jax.device_put(x, NamedSharding(mesh8, P("x")))
+    s = jax.jit(comm.run(lambda v: sub.allreduce(v), in_specs=P("x"),
+                         out_specs=P("x")))(xd)
+    np.testing.assert_allclose(np.asarray(s), 4.0)
+
+
+def test_comm_send_recv_pairs(mesh8):
+    """Tag-free point-to-point (reference: Isend/Irecv comm.hpp:130):
+    rank 0 -> rank 5, rank 3 -> rank 1; everyone else gets fill."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    comm = Comm.world(mesh8)
+    x = jax.device_put(jnp.arange(8.0) + 1,
+                       NamedSharding(mesh8, P("x")))
+    y = jax.jit(comm.run(
+        lambda v: comm.send_recv(v, [(0, 5), (3, 1)], fill=-1.0),
+        in_specs=P("x"), out_specs=P("x")))(x)
+    got = np.asarray(y)
+    assert got[5] == 1.0 and got[1] == 4.0
+    others = [got[i] for i in (0, 2, 3, 4, 6, 7)]
+    np.testing.assert_allclose(others, -1.0)
+
+
+def test_route_ring_impl_matches_gather(mesh8):
+    """route(impl='ring') == route(impl='gather')."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from sctl_tpu.comm.verbs import route
+    comm = Comm.world(mesh8)
+    rng = np.random.default_rng(5)
+    C = 16
+    data = rng.normal(size=(8 * C,))
+    dest = rng.integers(0, 8, size=(8 * C,))
+    cnt = np.full(8, C - 3, np.int32)
+
+    def fn(impl):
+        def f(d, ds, c):
+            out, n = route(comm, d, c[0], ds, 4 * C, impl=impl)
+            return out, n[None]
+        return jax.jit(comm.run(f, in_specs=(P("x"), P("x"), P("x")),
+                                out_specs=(P("x"), P("x"))))
+
+    a, na = fn("gather")(jnp.asarray(data), jnp.asarray(dest),
+                         jnp.asarray(cnt))
+    b, nb = fn("ring")(jnp.asarray(data), jnp.asarray(dest),
+                       jnp.asarray(cnt))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(na), np.asarray(nb))
+
+
+def test_comm_counters_per_execution(mesh8):
+    """Counters fire once per EXECUTION under jit, not once per trace
+    (reference counts at runtime, comm.txx:229-230)."""
+    import jax
+    import sctl_tpu
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from sctl_tpu.profile import Profile
+    sctl_tpu.config.profile_level = 5
+    Profile.reset()
+    comm = Comm.world(mesh8)
+    fn = jax.jit(comm.run(lambda v: comm.allreduce(v),
+                          in_specs=P("x"), out_specs=P("x")))
+    x = jax.device_put(jnp.arange(8.0), NamedSharding(mesh8, P("x")))
+    for i in range(3):
+        fn(x + i).block_until_ready()
+    jax.effects_barrier()
+    # 3 executions; the callback runs per shard (8 devices), so the
+    # aggregated count is a multiple of the execution count
+    n = Profile.get_counter("COLL_COUNT")
+    assert n >= 3, n
+    sctl_tpu.config.profile_level = -1
+
+
+def test_report_distributed_fields():
+    import sctl_tpu
+    from sctl_tpu.profile import Profile, add_flops
+    sctl_tpu.config.profile_level = 5
+    Profile.reset()
+    Profile.tic("blk")
+    add_flops(2e9)
+    Profile.toc()
+    rep = Profile.print_report(fields=("t", "t_min", "t_max", "t_avg",
+                                       "f_total", "f/s_total"))
+    assert "blk" in rep
+    sctl_tpu.config.profile_level = -1

@@ -61,7 +61,9 @@ def test_comm_credits_counters(mesh8):
     comm = Comm.world(mesh8)
     x = jax.device_put(jnp.arange(8.0),
                        jax.sharding.NamedSharding(mesh8, P("x")))
-    comm.run(lambda v: comm.allreduce(v), in_specs=P("x"),
-             out_specs=P("x"))(x)
+    out = jax.jit(comm.run(lambda v: comm.allreduce(v), in_specs=P("x"),
+                           out_specs=P("x")))(x)
+    out.block_until_ready()
+    jax.effects_barrier()   # counters fire per execution (callback)
     assert Profile.get_counter("COLL_COUNT") >= 1
     sctl_tpu.config.profile_level = -1
