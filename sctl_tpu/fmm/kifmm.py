@@ -100,7 +100,7 @@ def _op_cache_path(ker_trans, p, depth, scale, rcond):
     import os
     from ..config import config
     key = (f"kifmm_{ker_trans.name}_p{p}_d{depth}"
-           f"_s{scale:.12g}_r{rcond:.3g}.npz")
+           f"_s{scale:.12g}_r{rcond:.3g}_v2.npz")
     return os.path.join(config.data_path, key)
 
 
@@ -184,8 +184,29 @@ class KIFMMOperators:
                 mats.append(self.dc2e[lvl] @ k)
             self.m2l.append(np.stack(mats))        # (316, ns, ns)
 
+        self._compress_m2l()
         self._save_cache(cache_path)
         self._to_device(dtype, ker_s2t, ker_trans, ker_l2t)
+
+    def _compress_m2l(self):
+        """Joint column-basis factorization M_d = U (U^T M_d): the
+        column space of every level's M2L family has exact rank <=
+        rank(dc2e) (the pinv rcond cutoff), measured ~80 of 152 at
+        p=6 — the per-offset GEMMs run in the compressed space and one
+        basis GEMM per box expands afterwards.  Lossless to ~1e-12."""
+        self.m2l_u, self.m2l_c = [], []
+        for M in self.m2l:                         # (316, ns, ns)
+            ns_ = M.shape[1]
+            A = np.transpose(M, (1, 0, 2)).reshape(ns_, -1)
+            U, s, _ = np.linalg.svd(A, full_matrices=False)
+            r = int(np.searchsorted(-(s / max(s[0], 1e-300)),
+                                    -1e-10))      # first sv < 1e-10*s0
+            r = max(8, -(-r // 8) * 8)             # sublane-align
+            r = min(r, ns_)
+            Ur = U[:, :r]
+            self.m2l_u.append(np.ascontiguousarray(Ur))
+            self.m2l_c.append(np.einsum("nm,omk->onk",
+                                        Ur.T, M, optimize=True))
 
     def _to_device(self, dtype, ker_s2t, ker_trans, ker_l2t):
         cast = lambda a: jnp.asarray(a, dtype=dtype)
@@ -194,6 +215,16 @@ class KIFMMOperators:
         self.m2m_d = [cast(a) for a in self.m2m]
         self.l2l_d = [cast(a) for a in self.l2l]
         self.m2l_d = [cast(a) for a in self.m2l]
+        self.m2l_u_d = [cast(a) for a in self.m2l_u]
+        self.m2l_c_d = [cast(a) for a in self.m2l_c]
+        # concatenated single-GEMM forms: q_parent = qc.(P,8n) @ m2m_cat
+        # (8n,m); child = q_dn.(P,n) @ l2l_cat (n,8m) — one large MXU
+        # GEMM per level instead of 8 small batched ones (measured 13x
+        # on the real chip at depth 6)
+        self.m2m_cat_d = [cast(np.transpose(a, (0, 2, 1)).reshape(
+            8 * a.shape[2], a.shape[1])) for a in self.m2m]
+        self.l2l_cat_d = [cast(np.transpose(a, (2, 0, 1)).reshape(
+            a.shape[2], 8 * a.shape[1])) for a in self.l2l]
         self.surf_in_d = [cast(a) for a in self.surf_in]
         self.surf_out_d = [cast(a) for a in self.surf_out]
         self.ker_s2t = ker_s2t
@@ -211,7 +242,7 @@ class KIFMMOperators:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             arrs = {}
             for name in ("uc2e", "dc2e", "m2m", "l2l", "m2l",
-                         "surf_in", "surf_out"):
+                         "m2l_u", "m2l_c", "surf_in", "surf_out"):
                 for i, a in enumerate(getattr(self, name)):
                     arrs[f"{name}_{i}"] = a
             np.savez(path, **arrs)
@@ -226,7 +257,9 @@ class KIFMMOperators:
             z = np.load(path)
             for name, n in (("uc2e", depth + 1), ("dc2e", depth + 1),
                             ("m2m", depth), ("l2l", depth),
-                            ("m2l", depth + 1), ("surf_in", depth + 1),
+                            ("m2l", depth + 1), ("m2l_u", depth + 1),
+                            ("m2l_c", depth + 1),
+                            ("surf_in", depth + 1),
                             ("surf_out", depth + 1)):
                 setattr(self, name,
                         [z[f"{name}_{i}"] for i in range(n)])
@@ -293,9 +326,15 @@ class KIFMM:
                  pts_per_leaf: int = 256,
                  ker_l2t: Optional[KernelSpec] = None,
                  ker_s2m: Optional[KernelSpec] = None,
-                 dtype=None):
+                 dtype=None,
+                 use_pallas_p2p: Optional[bool] = None):
         import jax
         from ..ops.kernels import Laplace3D_FxdU, Stokes3D_FSxU
+        # compact U-list Pallas P2P on real TPU; the XLA 27-offset
+        # sweep elsewhere (CPU tests run the same math through XLA)
+        if use_pallas_p2p is None:
+            use_pallas_p2p = jax.default_backend() in ("tpu", "axon")
+        self.use_pallas_p2p = use_pallas_p2p
         self.ker_s2t = ker_s2t
         if ker_s2t.name.startswith("Stokes"):
             self.ker_trans = Stokes3D_FSxU
@@ -396,9 +435,10 @@ class KIFMM:
             "xs_pad": self.xs_pad, "ns_pad": self.ns_pad,
             "xt_pad": self.xt_pad, "ctr": self.ctr, "nb": self.nb,
             "uc2e_L": ops.uc2e_d[L],
-            "m2m": tuple(ops.m2m_d),
-            "l2l": tuple(ops.l2l_d),
-            "m2l": tuple(ops.m2l_d),
+            "m2m_cat": tuple(ops.m2m_cat_d),
+            "l2l_cat": tuple(ops.l2l_cat_d),
+            "m2l_u": tuple(ops.m2l_u_d),
+            "m2l_c": tuple(ops.m2l_c_d),
             "surf_out_L": ops.surf_out_d[L],
             **self._parity_tables(ops),
             "gidx": tuple(jnp.asarray(self._grid_index_np(l))
@@ -428,6 +468,28 @@ class KIFMM:
                     self.trg_tree.X_sorted[self.tov_idx], dt),
                 "tov_boxes": jnp.asarray(self.tov_boxes, jnp.int32),
             })
+        if self.use_pallas_p2p:
+            # compact U-list layout: raw Morton-sorted sources in
+            # transposed (3, N) form + per-box counts; the per-chunk
+            # gather builds exact concatenated neighbor ranges (no
+            # slab padding, overflow sources included)
+            tree = self.src_tree
+            cnt = tree.box_cnt
+            nbn = tree.neighbor_boxes()
+            cnt_nb = np.where(nbn >= 0,
+                              cnt[np.clip(nbn, 0, None)], 0)
+            totals = cnt_nb.sum(1)
+            self.ulist_cap = max(128, -(-int(totals.max()) // 128)
+                                 * 128)
+            self._data.update({
+                "Xs_T": jnp.asarray(tree.X_sorted.T, dt),
+                "Ns_T": (jnp.asarray(self._n_src_sorted.T, dt)
+                         if self._n_src_sorted is not None
+                         else jnp.zeros((3, len(tree.X_sorted)), dt)),
+                "box_cnt": jnp.asarray(cnt, jnp.int32),
+                "box_dsp": jnp.asarray(tree.box_dsp, jnp.int32),
+                "xt_bT": jnp.asarray(xt_p.transpose(0, 2, 1), dt),
+            })
         self._eval_jit = None
         return self
 
@@ -455,7 +517,9 @@ class KIFMM:
 
     # -- density scatter ---------------------------------------------------
     def _pad_density(self, f):
-        """-> (fp (B, cap, k0), fp_ovf (O, k0))."""
+        """-> (fp (B, cap, k0), fp_ovf (O, k0), fs_T (k0, N) sorted
+        transposed — the compact U-list P2P's density layout, or None
+        on the XLA path)."""
         f = np.asarray(f, np.float64).reshape(len(self._perm_q),
                                               self.ker_s2t.kdim0)
         cap = self.cap_s
@@ -469,8 +533,10 @@ class KIFMM:
             fo = fs[self.sov_idx] * self.sov_valid[..., None]
         else:
             fo = np.zeros((0, self.sov_cap, f.shape[1]))
+        fs_T = (jnp.asarray(fs.T, self.dtype) if self.use_pallas_p2p
+                else None)
         return (jnp.asarray(fp, self.dtype),
-                jnp.asarray(fo, self.dtype))
+                jnp.asarray(fo, self.dtype), fs_T)
 
     def _unsort_u(self, u_sorted: np.ndarray) -> np.ndarray:
         out = np.empty_like(u_sorted)
@@ -481,11 +547,11 @@ class KIFMM:
     def eval(self, f, n_src_override=None) -> np.ndarray:
         """u[trg] = sum_src K(trg, src) f[src] via the tree.  f in
         ORIGINAL source order; result in ORIGINAL target order."""
-        fp, fp_ovf = self._pad_density(f)
+        fp, fp_ovf, fs_T = self._pad_density(f)
         if self._eval_jit is None:
             self._eval_jit = jax.jit(self._eval_impl)
         with profile.Profile.scoped("KIFMM::Eval"):
-            u_pad, u_ovf = self._eval_jit(fp, fp_ovf, self._data)
+            u_pad, u_ovf = self._eval_jit(fp, fp_ovf, fs_T, self._data)
         profile.add_flops(self._flop_model())
         k1 = self.ker_l2t.kdim1
         nt = len(self.trg_tree.perm)
@@ -499,6 +565,72 @@ class KIFMM:
                 self.tov_valid.reshape(-1)]] = uo[
                 self.tov_valid.reshape(-1)]
         return self._unsort_u(u_sorted)
+
+    # -- device-resident evaluation (density in / potential out stay
+    # on device: the steady state of a GMRES outer loop over a BIE
+    # operator, boundary_integral.txx:1016-1142) ------------------------
+    def _device_index_arrays(self):
+        """Precompute the gather/scatter index arrays that _pad_density
+        / eval's un-sort do on host, as device constants."""
+        if getattr(self, "_dev_idx", None) is not None:
+            return self._dev_idx
+        tree = self.src_tree
+        n = len(tree.perm)
+        cap = self.cap_s
+        idx = tree.box_dsp[:-1, None] + np.arange(cap)[None, :]
+        valid = idx < tree.box_dsp[1:, None]
+        idx = np.clip(idx, 0, n - 1)
+        d = {
+            "src_perm": jnp.asarray(tree.perm, jnp.int32),
+            "pad_idx": jnp.asarray(idx, jnp.int32),
+            "pad_valid": jnp.asarray(valid, self.dtype),
+            "unsort_pos": jnp.asarray(self._pad_positions(), jnp.int32),
+            "pad_take": jnp.asarray(
+                np.nonzero(np.asarray(self.t_mask).reshape(-1))[0],
+                jnp.int32),
+            "trg_perm": jnp.asarray(self.trg_tree.perm, jnp.int32),
+        }
+        if self.n_ovf_s:
+            d["sov_idx"] = jnp.asarray(self.sov_idx, jnp.int32)
+            d["sov_valid"] = jnp.asarray(self.sov_valid, self.dtype)
+        if self.n_ovf_t:
+            ovf_pos = self.tov_idx.reshape(-1)[self.tov_valid.reshape(-1)]
+            d["tov_pos"] = jnp.asarray(ovf_pos, jnp.int32)
+            d["tov_take"] = jnp.asarray(
+                np.nonzero(self.tov_valid.reshape(-1))[0], jnp.int32)
+        self._dev_idx = d
+        return d
+
+    def eval_jnp(self, f) -> jnp.ndarray:
+        """Traced evaluation: f (n_src, k0) jnp array in ORIGINAL
+        source order -> (n_trg, k1) jnp in ORIGINAL target order; no
+        host round trip (call under jit for the solver loop)."""
+        di = self._device_index_arrays()
+        k0 = self.ker_s2t.kdim0
+        f = jnp.asarray(f, self.dtype).reshape(-1, k0)
+        fs = f[di["src_perm"]]                        # sorted order
+        fp = fs[di["pad_idx"]] * di["pad_valid"][..., None]
+        if self.n_ovf_s:
+            fo = fs[di["sov_idx"]] * di["sov_valid"][..., None]
+        else:
+            fo = jnp.zeros((0, self.sov_cap, k0), self.dtype)
+        fs_T = fs.T if self.use_pallas_p2p else None
+        u_pad, u_ovf = self._eval_impl(fp, fo, fs_T, self._data)
+        k1 = self.ker_l2t.kdim1
+        nt = len(self.trg_tree.perm)
+        u_flat = u_pad.reshape(-1, k1)
+        u_sorted = jnp.zeros((nt, k1), u_flat.dtype)
+        # first min(cnt, cap) points of each box come from the padded
+        # result; padding slots are dropped by a precomputed static
+        # index gather
+        u_sorted = u_sorted.at[di["unsort_pos"]].set(
+            u_flat[di["pad_take"]])
+        if self.n_ovf_t:
+            uo = u_ovf.reshape(-1, k1)
+            u_sorted = u_sorted.at[di["tov_pos"]].set(
+                uo[di["tov_take"]])
+        out = jnp.zeros_like(u_sorted)
+        return out.at[di["trg_perm"]].set(u_sorted)
 
     def _pad_positions(self):
         """Sorted-order point positions covered by the padded target
@@ -516,7 +648,7 @@ class KIFMM:
         return npts * (27 * self.pts_per_leaf * self.ker_s2t.flops
                        + 2 * self._ops.n_surf * 4)
 
-    def _eval_impl(self, fp, fp_ovf, data):
+    def _eval_impl(self, fp, fp_ovf, fs_T, data):
         ops = self._ops
         L = self.depth
         ns = ops.n_surf * ops.k0t      # equivalent-density dof per box
@@ -558,56 +690,64 @@ class KIFMM:
                           precision=hi)            # (B, ns)
 
         # ---- M2M upward (Morton order is parent-major: 8 consecutive
-        # boxes share one parent) ----
+        # boxes share one parent; one large concatenated GEMM/level) ----
         q_levels = {L: q_up}
         for lvl in range(L, 2, -1):
-            qc = q_levels[lvl].reshape(-1, 8, ns)
-            q_levels[lvl - 1] = jnp.einsum(
-                "pcn,cmn->pm", qc, data["m2m"][lvl - 1], precision=hi)
+            qc = q_levels[lvl].reshape(-1, 8 * ns)
+            q_levels[lvl - 1] = jnp.dot(qc, data["m2m_cat"][lvl - 1],
+                                        precision=hi)
 
         # ---- M2L at each level: per-parity subgrid scans ----
         # Each child parity c has exactly 189 valid V-list offsets.
-        # Factor the grid as (n/2, 2, n/2, 2, n/2, 2, ns) so the source
-        # position 2y + c + d decomposes into an unstrided block shift
-        # eb = (c+d)//2 plus a parity pick ep = (c+d)&1 — no masking,
-        # 189/316 of the flops and memory traffic of the naive sweep.
+        # Store the grid PARITY-MAJOR (2,2,2,h,h,h,ns): the source
+        # position 2y + c + d decomposes into a parity pick
+        # ep = (c+d)&1 (a leading contiguous block) plus an unstrided
+        # spatial shift eb = (c+d)//2 — every scan step slices a
+        # contiguous (h,h,h,ns) block; no strided access, no masking,
+        # 189/316 of the flops of the naive sweep.
         v_dn = {}
         for lvl in range(2, L + 1):
             nside = 1 << lvl
             h = nside // 2
             q_grid = self._to_grid(q_levels[lvl], lvl, data["gidx"][lvl])
-            qr = q_grid.reshape(h, 2, h, 2, h, 2, ns)
-            qrp = jnp.pad(qr, ((2, 2), (0, 0), (2, 2), (0, 0),
-                               (2, 2), (0, 0), (0, 0)))
-            out = jnp.zeros((h, 2, h, 2, h, 2, ns), dtype=dt)
+            qr = q_grid.reshape(h, 2, h, 2, h, 2, ns).transpose(
+                1, 3, 5, 0, 2, 4, 6)               # (2,2,2,h,h,h,ns)
+            qrp = jnp.pad(qr, ((0, 0), (0, 0), (0, 0), (2, 2), (2, 2),
+                               (2, 2), (0, 0)))
+            U = data["m2l_u"][lvl]                      # (ns, r)
+            r = U.shape[1]
+            outs = []
             for c in range(8):
                 ebs = data["m2l_ebs"][c]                # (189, 3)
                 eps = data["m2l_eps"][c]                # (189, 3)
-                mats = data["m2l"][lvl][data["m2l_vidx"][c]]
+                mats = data["m2l_c"][lvl][data["m2l_vidx"][c]]
 
                 def m2l_step(acc, blk, qrp=qrp, h=h):
-                    eb, ep, mat = blk
+                    eb, ep, mat = blk                   # mat (r, ns)
                     sl = lax.dynamic_slice(
-                        qrp, (2 + eb[0], ep[0], 2 + eb[1], ep[1],
-                              2 + eb[2], ep[2], jnp.int32(0)),
-                        (h, 1, h, 1, h, 1, ns))
+                        qrp, (ep[0], ep[1], ep[2], 2 + eb[0],
+                              2 + eb[1], 2 + eb[2], jnp.int32(0)),
+                        (1, 1, 1, h, h, h, ns))
                     sl = sl.reshape(h, h, h, ns)
-                    return acc + jnp.einsum("xyzn,mn->xyzm", sl, mat,
+                    return acc + jnp.einsum("xyzn,rn->xyzr", sl, mat,
                                             precision=hi), None
 
-                acc0 = jnp.zeros((h, h, h, ns), dtype=dt)
+                acc0 = jnp.zeros((h, h, h, r), dtype=dt)
                 acc, _ = lax.scan(m2l_step, acc0, (ebs, eps, mats))
-                out = out.at[:, c >> 2 & 1, :, c >> 1 & 1, :,
-                             c & 1].set(acc)
-            acc_full = out.reshape(nside, nside, nside, ns)
+                # expand from the compressed column space (one GEMM)
+                outs.append(jnp.einsum("xyzr,nr->xyzn", acc, U,
+                                       precision=hi))
+            out = jnp.stack(outs).reshape(2, 2, 2, h, h, h, ns)
+            acc_full = out.transpose(3, 0, 4, 1, 5, 2, 6).reshape(
+                nside, nside, nside, ns)
             v_dn[lvl] = self._from_grid(acc_full, lvl,
                                         data["gidx"][lvl])  # (B_l, ns)
 
-        # ---- downward: L2L (dc2e is folded into the m2l/l2l mats) ----
+        # ---- downward: L2L (dc2e is folded into the m2l/l2l mats;
+        # one concatenated GEMM per level) ----
         q_dn = v_dn[2]
         for lvl in range(3, L + 1):
-            qc = jnp.einsum("pn,cmn->pcm", q_dn,
-                            data["l2l"][lvl - 1], precision=hi)
+            qc = jnp.dot(q_dn, data["l2l_cat"][lvl - 1], precision=hi)
             q_dn = qc.reshape(-1, ns) + v_dn[lvl]
 
         # ---- L2T ----
@@ -624,27 +764,14 @@ class KIFMM:
                         batch_size=max(1, min(B, 4096)))
         u_far = u_far * self.ker_l2t.scale_factor        # (B, Ct, k1)
 
-        # ---- P2P near field: lax.scan over the 27 neighbor offsets ----
-        def p2p_step(u_acc, j):
-            nb_idx = nb[:, j]
-            ok = nb_idx >= 0
-            src_idx = jnp.where(ok, nb_idx, 0)
-            xs_n = xs_pad[src_idx]
-            ns_n = ns_pad[src_idx]
-            f_n = fp[src_idx] * ok[:, None, None].astype(dt)
+        # ---- P2P near field ----
+        if self.use_pallas_p2p:
+            u_near = self._p2p_ulist_pallas(fs_T, data)
+        else:
+            u_near = self._p2p_xla_sweep(fp, data, u_far)
 
-            def p2p_box(args):
-                xt, xs, nrm, fb = args
-                return self.ker_s2t.apply_pairwise(xt, xs, nrm, fb)
-
-            u_j = lax.map(p2p_box, (xt_pad, xs_n, ns_n, f_n),
-                          batch_size=max(1, min(B, 2048)))
-            return u_acc + u_j, None
-
-        u_near, _ = lax.scan(p2p_step, jnp.zeros_like(u_far),
-                             jnp.arange(27))
-
-        if Os:  # slot-2 sources -> padded targets of their 27 nbrs:
+        if (not self.use_pallas_p2p) and Os:
+            # slot-2 sources -> padded targets of their 27 nbrs:
             # compute all (j, box) contributions, then ONE scatter-add
             # (a scatter per ring step lowers terribly on TPU)
             sb = data["sov_boxes"]
@@ -737,6 +864,89 @@ class KIFMM:
                      + u_ovf_near)
 
         return u_total, u_ovf
+
+    # -- P2P paths ---------------------------------------------------------
+    def _p2p_xla_sweep(self, fp, data, u_far):
+        """27-offset padded-slab sweep (XLA path; CPU/tests)."""
+        nb = data["nb"]
+        xs_pad, ns_pad = data["xs_pad"], data["ns_pad"]
+        xt_pad = data["xt_pad"]
+        B = self.src_tree.n_boxes
+        dt = self.dtype
+
+        def p2p_step(u_acc, j):
+            nb_idx = nb[:, j]
+            ok = nb_idx >= 0
+            src_idx = jnp.where(ok, nb_idx, 0)
+            xs_n = xs_pad[src_idx]
+            ns_n = ns_pad[src_idx]
+            f_n = fp[src_idx] * ok[:, None, None].astype(dt)
+
+            def p2p_box(args):
+                xt, xs, nrm, fb = args
+                return self.ker_s2t.apply_pairwise(xt, xs, nrm, fb)
+
+            u_j = lax.map(p2p_box, (xt_pad, xs_n, ns_n, f_n),
+                          batch_size=max(1, min(B, 2048)))
+            return u_acc + u_j, None
+
+        u_near, _ = lax.scan(p2p_step, jnp.zeros_like(u_far),
+                             jnp.arange(27))
+        return u_near
+
+    def _p2p_ulist_pallas(self, fs_T, data):
+        """Compact U-list P2P: per chunk of boxes, build exact
+        concatenated neighbor source ranges on device (points are
+        contiguous per box in the Morton sort) and run the per-box
+        Pallas kernel — no slab padding, overflow sources included
+        (the interaction-range organization of the reference's hot
+        loop, generic-kernel.txx:76-189)."""
+        from ..ops.pallas_p2p import p2p_ulist
+
+        nb = data["nb"]
+        box_cnt, box_dsp = data["box_cnt"], data["box_dsp"]
+        Xs_T, Ns_T, xt_bT = data["Xs_T"], data["Ns_T"], data["xt_bT"]
+        B = self.src_tree.n_boxes
+        N = Xs_T.shape[1]
+        S = self.ulist_cap
+        T = self.cap_t
+        G = min(B, 2048)                  # B is a power of 8: G | B
+        nchunks = B // G
+        kspec = self.ker_s2t
+
+        def p2p_chunk(ci):
+            b0 = ci * G
+            nbg = lax.dynamic_slice(nb, (b0, jnp.int32(0)), (G, 27))
+            ok = nbg >= 0
+            nbs = jnp.where(ok, nbg, 0)
+            cnt_g = jnp.where(ok, box_cnt[nbs], 0)       # (G, 27)
+            ends = jnp.cumsum(cnt_g, axis=1)
+            starts = ends - cnt_g
+            total = ends[:, -1]
+            k = jnp.arange(S, dtype=jnp.int32)
+            j_of_k = jnp.sum(
+                (k[None, :, None] >= ends[:, None, :]).astype(jnp.int32),
+                axis=-1)                                  # (G, S)
+            j_of_k = jnp.clip(j_of_k, 0, 26)
+            valid = k[None, :] < total[:, None]
+            nb_k = jnp.take_along_axis(nbs, j_of_k, axis=1)
+            st_k = jnp.take_along_axis(starts, j_of_k, axis=1)
+            src = box_dsp[nb_k] + (k[None, :] - st_k)
+            src = jnp.where(valid, src, N - 1)
+            # (G, 3, S) via per-coordinate 1-D gathers (the layout the
+            # Pallas block specs require)
+            xs_g = jnp.stack([Xs_T[d][src] for d in range(3)], axis=1)
+            ns_g = jnp.stack([Ns_T[d][src] for d in range(3)], axis=1)
+            vmask = valid[:, None, :].astype(fs_T.dtype)
+            f_g = jnp.stack([fs_T[d][src]
+                             for d in range(fs_T.shape[0])],
+                            axis=1) * vmask
+            xt_g = lax.dynamic_slice(
+                xt_bT, (b0, jnp.int32(0), jnp.int32(0)), (G, 3, T))
+            return p2p_ulist(kspec, xt_g, xs_g, ns_g, f_g)
+
+        u = lax.map(p2p_chunk, jnp.arange(nchunks, dtype=jnp.int32))
+        return u.reshape(B, T, kspec.kdim1)
 
     # -- grid helpers ------------------------------------------------------
     def _to_grid(self, q, lvl, gidx):

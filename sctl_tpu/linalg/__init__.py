@@ -1,4 +1,4 @@
-from .gmres import GMRES, KrylovPrecond, gmres
+from .gmres import GMRES, KrylovPrecond, gmres, gmres_device
 from .lagrange import interpolation_matrix, derivative_matrix
 from .quadrule import cheb_quad_rule, leg_quad_rule, InterpQuadRule
 from .ode import SDC
@@ -9,7 +9,7 @@ from .sph_harm import (SphericalHarmonics, sh_dim, stokes_eval_sl,
                        stokes_eval_kself, stokes_pressure_sl)
 
 __all__ = [
-    "GMRES", "KrylovPrecond", "gmres",
+    "GMRES", "KrylovPrecond", "gmres", "gmres_device",
     "interpolation_matrix", "derivative_matrix",
     "cheb_quad_rule", "leg_quad_rule", "InterpQuadRule",
     "SDC", "FFT",

@@ -205,6 +205,98 @@ def _append_krylov(precond: KrylovPrecond, Q, H, cs, sn, k: int, dtype):
     precond.append(Qt, U)
 
 
+def gmres_device(A: Callable, b, tol: float = 1e-10,
+                 max_iter: int = 100, x0=None,
+                 use_abs_tol: bool = False):
+    """Fully device-resident GMRES cycle: the whole iteration (CGS2
+    Arnoldi, Givens rotations, convergence test) runs inside a
+    lax.while_loop — zero host synchronization per iteration (the host
+    variant `gmres` pays a device->host readback per Arnoldi step,
+    milliseconds each against a remote TPU).
+
+    A must be traceable (jit-compatible).  Returns (x, iters,
+    residual_norm) as device values; jit the enclosing call.  No
+    KrylovPrecond recycling here — use `gmres` when recycling across
+    solves matters more than iteration latency.
+    """
+    from jax import lax
+
+    N = b.shape[0]
+    dtype = b.dtype
+    m = int(min(max_iter, N))
+
+    x0v = jnp.zeros_like(b) if x0 is None else x0
+    r = b - A(x0v) if x0 is not None else b
+    b_norm = jnp.sqrt(jnp.vdot(b, b))
+    abs_tol = tol * jnp.where(use_abs_tol, 1.0, b_norm)
+    r_norm = jnp.sqrt(jnp.vdot(r, r))
+
+    Q = jnp.zeros((m + 1, N), dtype=dtype)
+    Q = Q.at[0].set(jnp.where(r_norm > 0, 1.0, 0.0) * r
+                    / jnp.where(r_norm > 0, r_norm, 1.0))
+    H = jnp.zeros((m + 1, m), dtype=dtype)
+    cs = jnp.zeros(m, dtype=dtype)
+    sn = jnp.zeros(m, dtype=dtype)
+    beta = jnp.zeros(m + 1, dtype=dtype).at[0].set(r_norm)
+
+    def cond(state):
+        k, _, _, _, _, beta, err = state
+        return (k < m) & (err > abs_tol)
+
+    def body(state):
+        k, Q, H, cs, sn, beta, _ = state
+        w = A(jnp.take(Q, k, axis=0))
+        # CGS2 (rows > k of Q are zero and contribute nothing)
+        h1 = Q @ w
+        w = w - h1 @ Q
+        h2 = Q @ w
+        w = w - h2 @ Q
+        h = h1 + h2
+        h_norm = jnp.sqrt(jnp.vdot(w, w))
+        Q2 = Q.at[k + 1].set(w / jnp.where(h_norm > 0, h_norm, 1.0))
+
+        # hk = [h_0..h_k, h_norm] padded to m+1
+        i = jnp.arange(m + 1)
+        hk = jnp.where(i <= k, h, 0.0).at[k + 1].set(h_norm)
+
+        def rot(j, hk):
+            a = hk[j]
+            bj = hk[j + 1]
+            do = j < k
+            t = jnp.where(do, cs[j] * a + sn[j] * bj, a)
+            u = jnp.where(do, -sn[j] * a + cs[j] * bj, bj)
+            return hk.at[j].set(t).at[j + 1].set(u)
+
+        hk = lax.fori_loop(0, m, rot, hk)
+        hkk = jnp.take(hk, k)
+        hk1 = jnp.take(hk, k + 1)
+        t = jnp.sqrt(hkk * hkk + hk1 * hk1)
+        tsafe = jnp.where(t > 0, t, 1.0)
+        ck = jnp.where(t > 0, hkk / tsafe, 1.0)
+        sk = jnp.where(t > 0, hk1 / tsafe, 0.0)
+        hk = hk.at[k].set(ck * hkk + sk * hk1).at[k + 1].set(0.0)
+        cs2 = cs.at[k].set(ck)
+        sn2 = sn.at[k].set(sk)
+        H2 = H.at[:, k].set(hk)
+        bk = jnp.take(beta, k)
+        beta2 = beta.at[k + 1].set(-sk * bk).at[k].set(ck * bk)
+        err = jnp.abs(jnp.take(beta2, k + 1))
+        return (k + 1, Q2, H2, cs2, sn2, beta2, err)
+
+    state0 = (jnp.int32(0), Q, H, cs, sn, beta, r_norm)
+    k, Q, H, cs, sn, beta, err = lax.while_loop(cond, body, state0)
+
+    # masked back substitution: unused rows get unit diagonal, zero rhs
+    i = jnp.arange(m)
+    Hm = H[:m, :m]
+    Hm = jnp.where((i[:, None] < k) & (i[None, :] < k), Hm,
+                   jnp.eye(m, dtype=dtype))
+    rhs = jnp.where(i < k, beta[:m], 0.0)
+    y = jax.scipy.linalg.solve_triangular(Hm, rhs, lower=False)
+    x = x0v + y @ Q[:m]
+    return x, k, err
+
+
 class GMRES:
     """Class facade mirroring the reference API
     (GMRES<Real>(comm, verbose); operator())."""

@@ -177,6 +177,182 @@ _TILE_FNS = {
 }
 
 
+# ---- lane-oriented tile functions: targets in SUBLANES, sources in
+# LANES ((T, S) pairwise; contraction = lane reduction).  This is the
+# layout for the per-box U-list kernel, where the source list (~1e3) is
+# much longer than the target list (~48): sources fill whole 128-lane
+# tiles, targets pack the 8-sublane granularity. -----------------------
+
+def _pair_r2_l(xt_l, xs_l):
+    """(T, S) squared distances; xt_l (3,T), xs_l (3,S)."""
+    acc = None
+    for d in range(3):
+        dx = xt_l[d][:, None] - xs_l[d][None, :]
+        acc = dx * dx if acc is None else acc + dx * dx
+    return acc
+
+
+def _pair_rdot_l(xt_l, xs_l, v_l):
+    """(T, S) pairwise (xt - xs) . v_s ; v_l (3,S) per-source."""
+    acc = None
+    for d in range(3):
+        t = (xt_l[d][:, None] - xs_l[d][None, :]) * v_l[d][None, :]
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def _lsum(M, w=None):
+    """Lane reduction: sum_s M[t,s] (* w[s]) -> (T, 1)."""
+    if w is not None:
+        M = M * w[None, :]
+    return jnp.sum(M, axis=1, keepdims=True)
+
+
+def _ltile_lap_fxu(xt_l, xs_l, ns_l, f_l):
+    rinv = _rinv_t(_pair_r2_l(xt_l, xs_l))
+    return _lsum(rinv, f_l[0])                             # (T,1)
+
+
+def _ltile_lap_dxu(xt_l, xs_l, ns_l, f_l):
+    rinv = _rinv_t(_pair_r2_l(xt_l, xs_l))
+    rdotn = _pair_rdot_l(xt_l, xs_l, ns_l)
+    return _lsum(rdotn * rinv * rinv * rinv, f_l[0])
+
+
+def _ltile_lap_fxdu(xt_l, xs_l, ns_l, f_l):
+    rinv = _rinv_t(_pair_r2_l(xt_l, xs_l))
+    g = rinv * rinv * rinv * f_l[0][None, :]
+    h0 = _lsum(g)
+    cols = [xt_l[d][:, None] * h0 - _lsum(g, xs_l[d])
+            for d in range(3)]
+    return jnp.concatenate(cols, axis=1)                   # (T,3)
+
+
+def _ltile_stk_fxu(xt_l, xs_l, ns_l, f_l):
+    rinv = _rinv_t(_pair_r2_l(xt_l, xs_l))
+    C = _pair_rdot_l(xt_l, xs_l, f_l) * (rinv * rinv * rinv)
+    h0 = _lsum(C)
+    cols = [_lsum(rinv, f_l[d]) + xt_l[d][:, None] * h0
+            - _lsum(C, xs_l[d]) for d in range(3)]
+    return jnp.concatenate(cols, axis=1)                   # (T,3)
+
+
+def _ltile_stk_dxu(xt_l, xs_l, ns_l, f_l):
+    rinv = _rinv_t(_pair_r2_l(xt_l, xs_l))
+    rinv2 = rinv * rinv
+    D = (_pair_rdot_l(xt_l, xs_l, f_l)
+         * _pair_rdot_l(xt_l, xs_l, ns_l) * rinv2 * rinv2 * rinv)
+    h0 = _lsum(D)
+    cols = [xt_l[d][:, None] * h0 - _lsum(D, xs_l[d])
+            for d in range(3)]
+    return jnp.concatenate(cols, axis=1)
+
+
+def _ltile_stk_fxt(xt_l, xs_l, ns_l, f_l):
+    rinv = _rinv_t(_pair_r2_l(xt_l, xs_l))
+    rinv2 = rinv * rinv
+    E = _pair_rdot_l(xt_l, xs_l, f_l) * (rinv2 * rinv2 * rinv)
+    h0 = _lsum(E)
+    hx = [_lsum(E, xs_l[d]) for d in range(3)]
+    hxx = [[_lsum(E, xs_l[j] * xs_l[k]) for k in range(3)]
+           for j in range(3)]
+    cols = []
+    for j in range(3):
+        for k in range(3):
+            cols.append(xt_l[j][:, None] * xt_l[k][:, None] * h0
+                        - xt_l[j][:, None] * hx[k]
+                        - hx[j] * xt_l[k][:, None] + hxx[j][k])
+    return jnp.concatenate(cols, axis=1)                   # (T,9)
+
+
+def _ltile_stk_fsxu(xt_l, xs_l, ns_l, f_l):
+    u = _ltile_stk_fxu(xt_l, xs_l, ns_l, f_l[:3])
+    rinv = _rinv_t(_pair_r2_l(xt_l, xs_l))
+    g = rinv * rinv * rinv * f_l[3][None, :]
+    h0 = _lsum(g)
+    cols = [xt_l[d][:, None] * h0 - _lsum(g, xs_l[d])
+            for d in range(3)]
+    return u + jnp.concatenate(cols, axis=1)
+
+
+def _ltile_stk_fxup(xt_l, xs_l, ns_l, f_l):
+    rinv = _rinv_t(_pair_r2_l(xt_l, xs_l))
+    C = _pair_rdot_l(xt_l, xs_l, f_l) * (rinv * rinv * rinv)
+    h0 = _lsum(C)
+    cols = [_lsum(rinv, f_l[d]) + xt_l[d][:, None] * h0
+            - _lsum(C, xs_l[d]) for d in range(3)]
+    cols.append(h0)
+    return jnp.concatenate(cols, axis=1)                   # (T,4)
+
+
+_LTILE_FNS = {
+    "Laplace3D-FxU": _ltile_lap_fxu,
+    "Laplace3D-DxU": _ltile_lap_dxu,
+    "Laplace3D-FxdU": _ltile_lap_fxdu,
+    "Stokes3D-FxU": _ltile_stk_fxu,
+    "Stokes3D-DxU": _ltile_stk_dxu,
+    "Stokes3D-FxT": _ltile_stk_fxt,
+    "Stokes3D-FSxU": _ltile_stk_fsxu,
+    "Stokes3D-FxUP": _ltile_stk_fxup,
+}
+
+
+def _ulist_kernel_body(tile_fn, xt_ref, xs_ref, ns_ref, f_ref, out_ref):
+    out_ref[0] = tile_fn(xt_ref[0], xs_ref[0], ns_ref[0], f_ref[0])
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "interpret"))
+def p2p_ulist(kernel: KernelSpec, xt_b, xs_b, ns_b, f_b,
+              interpret: Optional[bool] = None):
+    """Per-box U-list P2P: for each box g, sum over its gathered source
+    list (reference hot loop generic-kernel.txx:76-189, organized per
+    target leaf like the U-list pass of a tree code).
+
+    xt_b (G, 3, T): per-box target coords (T = box target capacity,
+        multiple of 8).
+    xs_b (G, 3, S): per-box gathered source coords (S = U-list budget,
+        multiple of 128).
+    ns_b (G, 3, S): source normals (zeros if unused).
+    f_b (G, k0, S): source densities, ZERO in padded slots.
+    -> (G, T, k1) potentials (unscaled; caller applies scale_factor).
+
+    Targets ride sublanes, sources ride lanes; one grid step per box
+    keeps the whole pairwise tile in VMEM — no HBM round trip for the
+    (T, S) intermediates.
+    """
+    if interpret is None:
+        from ..config import config
+        interpret = config.pallas_interpret or (
+            jax.default_backend() not in ("tpu", "axon"))
+    G, _, T = xt_b.shape
+    S = xs_b.shape[2]
+    k0, k1 = kernel.kdim0, kernel.kdim1
+    tile_fn = _LTILE_FNS[kernel.name]
+    out = pl.pallas_call(
+        functools.partial(_ulist_kernel_body, tile_fn),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, 3, T), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, S), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, S), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k0, S), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, k1), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, T, k1), xt_b.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=int(G) * int(T) * int(S) * kernel.flops,
+            bytes_accessed=(xt_b.size + xs_b.size + f_b.size) * 4,
+            transcendentals=int(G) * int(T) * int(S)),
+        interpret=interpret,
+    )(xt_b, xs_b, ns_b, f_b)
+    return out
+
+
 def _p2p_kernel_body(tile_fn, nbs_total, xt_ref, xs_ref, ns_ref, f_ref,
                      out_ref):
     j = pl.program_id(1)

@@ -176,3 +176,54 @@ def test_sqrt_scaling():
     v = np.random.default_rng(0).normal(size=op.dim(0))
     np.testing.assert_allclose(
         op.inv_sqrt_scaling(op.sqrt_scaling(v))[:, 0], v, atol=1e-12)
+
+
+def test_stokes_torus_dirichlet_gmres_device():
+    """Interior Stokes Dirichlet on a torus via the double-layer ansatz
+    solved with the DEVICE-RESIDENT GMRES over the traced operator
+    (the BASELINE.md headline-2 scenario: gmres-rsult.txt class).
+    Oracle: a Stokeslet source outside the domain; the reconstructed
+    interior velocity must match it."""
+    import jax
+    from sctl_tpu.ops import Stokes3D_DxU, Stokes3D_FxU
+    from sctl_tpu.linalg import gmres_device
+
+    lst = torus_patches(nu=6, nv=3, q=6, R=2.0, r=0.5)
+    op = BoundaryIntegralOp(Stokes3D_DxU)
+    op.set_accuracy(1e-7)
+    op.add_elem_list(lst)
+    op.setup()
+    X, Xn, _ = lst.get_node_coord()
+
+    src = np.array([[6.0, 0.0, 0.0]])          # outside the torus
+    q = np.array([[1.0, -0.5, 0.8]])
+    bc = np.asarray(direct_eval_blocked(
+        Stokes3D_FxU, jnp.asarray(X), jnp.asarray(src),
+        jnp.asarray(q))).reshape(-1)
+
+    n3 = op.dim(0)
+
+    def A(sig):
+        u = op.compute_potential_jnp(sig).reshape(-1)
+        return u - 0.5 * sig
+
+    x, iters, err = jax.jit(
+        lambda b: gmres_device(A, b, tol=1e-7, max_iter=80))(
+        jnp.asarray(bc))
+    assert int(iters) < 80
+    # residual check
+    r = np.asarray(A(jnp.asarray(x))) - bc
+    assert np.linalg.norm(r) / np.linalg.norm(bc) < 1e-6
+
+    # interior reconstruction
+    xt_in = np.array([[2.0, 0.0, 0.0], [0.0, -2.1, 0.15]])
+    op2 = BoundaryIntegralOp(Stokes3D_DxU)
+    op2.set_accuracy(1e-7)
+    op2.add_elem_list(lst)
+    op2.set_target_coord(xt_in)
+    u_in = op2.compute_potential(np.asarray(x))
+    u_ex = np.asarray(direct_eval_blocked(
+        Stokes3D_FxU, jnp.asarray(xt_in), jnp.asarray(src),
+        jnp.asarray(q)))
+    rel = np.abs(u_in - u_ex).max() / np.abs(u_ex).max()
+    assert rel < 1e-4, rel

@@ -104,3 +104,40 @@ def test_gmres_class_facade():
     x, iters = solver(lambda v: A @ v, b, tol=1e-11)
     assert float(jnp.linalg.norm(A @ x - b)) < 1e-10 * float(
         jnp.linalg.norm(b)) * 10
+
+
+def test_gmres_device_matches_host():
+    """Device-resident GMRES (lax.while_loop cycle) solves to the same
+    tolerance as the host loop."""
+    import jax
+    import jax.numpy as jnp
+    from sctl_tpu.linalg.gmres import gmres, gmres_device
+    rng = np.random.default_rng(3)
+    n = 80
+    A = np.eye(n) * 4 + rng.normal(size=(n, n)) * 0.3
+    b = rng.normal(size=n)
+    op = lambda v: jnp.asarray(A) @ v
+    x_h, it_h = gmres(op, jnp.asarray(b), tol=1e-10, max_iter=n)
+    x_d, it_d, err = jax.jit(
+        lambda bb: gmres_device(op, bb, tol=1e-10, max_iter=n))(
+        jnp.asarray(b))
+    r_d = np.linalg.norm(A @ np.asarray(x_d) - b) / np.linalg.norm(b)
+    assert r_d < 1e-9, r_d
+    assert abs(int(it_d) - it_h) <= 2
+    np.testing.assert_allclose(np.asarray(x_d), np.asarray(x_h),
+                               atol=1e-7)
+
+
+def test_gmres_device_early_convergence():
+    """Converges in k << max_iter iterations for a well-conditioned
+    system and reports the iteration count."""
+    import jax
+    import jax.numpy as jnp
+    from sctl_tpu.linalg.gmres import gmres_device
+    n = 60
+    A = np.eye(n) * 2.0
+    b = np.ones(n)
+    x, it, err = gmres_device(lambda v: jnp.asarray(A) @ v,
+                              jnp.asarray(b), tol=1e-12, max_iter=50)
+    assert int(it) <= 2
+    np.testing.assert_allclose(np.asarray(x), 0.5, atol=1e-12)

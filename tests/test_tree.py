@@ -4,6 +4,7 @@ points, max M per box, data scatter roundtrip; test-pt-tree.cpp 2-D)."""
 
 import numpy as np
 import pytest
+import jax.numpy as jnp
 
 from sctl_tpu.tree import (
     morton_encode, morton_decode, morton_ancestor, morton_children,
@@ -115,3 +116,104 @@ def test_uniform_tree():
     # center box of the grid has all 27 neighbors valid
     interior = np.where((nb >= 0).all(axis=1))[0]
     assert len(interior) == (2 ** depth - 2) ** 3
+
+
+# -- distributed tree (reference: tree.txx:134-333) ----------------------
+
+def test_dist_tree_matches_host(mesh8):
+    """DistPtTree on the 8-device mesh produces EXACTLY the host
+    PtTree's leaf set (keys and levels), with and without 2:1 balance
+    (VERDICT round-2 item 5 acceptance)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from sctl_tpu.comm import Comm
+    from sctl_tpu.tree.dist_tree import DistPtTree, NOKEY
+    from sctl_tpu.tree.tree import PtTree
+
+    rng = np.random.default_rng(11)
+    n = 2048
+    X = rng.random((n, 3)) ** 2          # nonuniform
+    for balance in (False, True):
+        host = PtTree(dim=3).update_refinement(
+            X, max_pts=64, balance21=balance, max_level=6)
+
+        comm = Comm.world(mesh8)
+        C = n // 8
+        tree = DistPtTree(comm, leaf_cap=4096, pt_cap=2 * C,
+                          max_level=6)
+        fn = tree.build_fn(max_pts=64, balance21=balance)
+        Xd = jax.device_put(jnp.asarray(X),
+                            NamedSharding(mesh8, P("x", None)))
+        cnt = jax.device_put(jnp.full((8,), C, jnp.int32),
+                             NamedSharding(mesh8, P("x")))
+        out = jax.jit(comm.run(
+            lambda Xl, c: fn(Xl, c[0]),
+            in_specs=(P("x", None), P("x")),
+            out_specs=(P(), P(), P("x"), P("x", None), P("x"))))(
+            Xd, cnt)
+        lk, ll, nl, Xs, out_cnt = out
+        nl0 = int(np.asarray(nl)[0])
+        lk = np.asarray(lk)[:nl0]
+        ll = np.asarray(ll)[:nl0]
+        assert int(np.asarray(out_cnt).sum()) == n
+        np.testing.assert_array_equal(lk, host.leaf_keys, err_msg=f"balance={balance}")
+        np.testing.assert_array_equal(ll, host.leaf_levels)
+
+
+def test_dist_tree_reduce_broadcast(mesh8):
+    """Named node-data exchange: per-leaf point counts from sharded
+    points reduce to the global per-leaf counts on every rank
+    (reference: ReduceBroadcast, tree.txx:547)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from sctl_tpu.comm import Comm
+    from sctl_tpu.tree.dist_tree import DistPtTree
+    from sctl_tpu.tree import morton as mt
+    from sctl_tpu.tree.tree import PtTree
+
+    rng = np.random.default_rng(7)
+    n = 1024
+    X = rng.random((n, 3))
+    host = PtTree(dim=3).update_refinement(X, max_pts=32, max_level=5)
+
+    comm = Comm.world(mesh8)
+    C = n // 8
+    tree = DistPtTree(comm, leaf_cap=4096, pt_cap=2 * C, max_level=5)
+    fn = tree.build_fn(max_pts=32)
+    Xd = jax.device_put(jnp.asarray(X),
+                        NamedSharding(mesh8, P("x", None)))
+    cnt = jax.device_put(jnp.full((8,), C, jnp.int32),
+                         NamedSharding(mesh8, P("x")))
+    lk, ll, nl, Xs, oc = jax.jit(comm.run(
+        lambda Xl, c: fn(Xl, c[0]),
+        in_specs=(P("x", None), P("x")),
+        out_specs=(P(), P(), P("x"), P("x", None), P("x"))))(Xd, cnt)
+    nl0 = int(np.asarray(nl)[0])
+    lkn = np.asarray(lk)[:nl0]
+
+    # per-rank partial counts via leaf_of_points on each shard, then
+    # reduce_broadcast
+    def count_prog(Xl, c):
+        lo = comm.allreduce(jnp.min(jnp.where(
+            (jnp.arange(Xl.shape[0]) < c[0])[:, None], Xl, 1e300),
+            axis=0), "min")
+        hi = comm.allreduce(jnp.max(jnp.where(
+            (jnp.arange(Xl.shape[0]) < c[0])[:, None], Xl, -1e300),
+            axis=0), "max")
+        scale = jnp.max(hi - lo) * (1 + 1e-10)
+        keys = mt.morton_encode((Xl - lo) / scale, dim=3)
+        leaf = DistPtTree.leaf_of_points(jnp.asarray(lk), keys)
+        valid = jnp.arange(Xl.shape[0]) < c[0]
+        partial = jnp.zeros((lk.shape[0],)).at[
+            jnp.where(valid, leaf, lk.shape[0])].add(1.0, mode="drop")
+        return tree.reduce_broadcast(partial)[None]
+
+    counts = jax.jit(comm.run(count_prog,
+                              in_specs=(P("x", None), P("x")),
+                              out_specs=P("x")))(Xd, cnt)
+    counts = np.asarray(counts)
+    # every rank agrees and totals match the host tree's leaf counts
+    for r in range(1, 8):
+        np.testing.assert_array_equal(counts[r], counts[0])
+    np.testing.assert_array_equal(counts[0][:nl0], host.leaf_cnt)
+    assert counts[0].sum() == n
