@@ -1,5 +1,6 @@
 from .fmm import ParticleFMM
 from .kifmm import KIFMM
 from .kifmm_dist import KIFMMDist
+from .adaptive import AdaptiveFMM
 
-__all__ = ["ParticleFMM", "KIFMM", "KIFMMDist"]
+__all__ = ["ParticleFMM", "KIFMM", "KIFMMDist", "AdaptiveFMM"]

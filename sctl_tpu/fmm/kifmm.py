@@ -469,26 +469,48 @@ class KIFMM:
                 "tov_boxes": jnp.asarray(self.tov_boxes, jnp.int32),
             })
         if self.use_pallas_p2p:
-            # compact U-list layout: raw Morton-sorted sources in
-            # transposed (3, N) form + per-box counts; the per-chunk
-            # gather builds exact concatenated neighbor ranges (no
-            # slab padding, overflow sources included)
+            # raster-layout halo arrays for the stencil P2P kernel:
+            # boxes reordered (x, y, z); slabs padded to a 128-multiple
+            # capacity (lane-aligned z-slices) with the density still
+            # truncated at cap_s so the slot-2 overflow sideband keeps
+            # its exact role
+            n_side = 1 << L
+            self.stencil_cap = -(-self.cap_s // 128) * 128
+            cap2 = self.stencil_cap
+            gidx = self._grid_index_np(L)          # morton -> raster
+            self._gidx_np = gidx
+            inv = np.empty_like(gidx)
+            inv[gidx] = np.arange(len(gidx))       # raster -> morton
+            self._rast_to_mort = inv
             tree = self.src_tree
-            cnt = tree.box_cnt
-            nbn = tree.neighbor_boxes()
-            cnt_nb = np.where(nbn >= 0,
-                              cnt[np.clip(nbn, 0, None)], 0)
-            totals = cnt_nb.sum(1)
-            self.ulist_cap = max(128, -(-int(totals.max()) // 128)
-                                 * 128)
+            idx2 = tree.box_dsp[:-1, None] + np.arange(cap2)[None, :]
+            lim = np.minimum(tree.box_dsp[:-1] + self.cap_s,
+                             tree.box_dsp[1:])
+            self._sval2_np = idx2 < lim[:, None]   # (B, cap2)
+            self._sidx2_np = np.clip(idx2, 0,
+                                     max(len(tree.X_sorted) - 1, 0))
+            xs_p2 = tree.X_sorted[self._sidx2_np]  # (B, cap2, 3)
+            ns_p2 = (self._n_src_sorted[self._sidx2_np]
+                     if self._n_src_sorted is not None
+                     else np.zeros_like(xs_p2))
+
+            def to_halo(a):                        # (B, cap2, k)
+                k = a.shape[2]
+                g = a[inv].reshape(n_side, n_side, n_side, cap2, k)
+                g = g.transpose(0, 1, 4, 2, 3).reshape(
+                    n_side, n_side, k, n_side * cap2)
+                return np.pad(g, ((0, 0), (0, 0), (0, 0),
+                                  (cap2, cap2)))
+
+            xt_r = xt_p[inv].reshape(n_side, n_side, n_side,
+                                     self.cap_t, 3)
             self._data.update({
-                "Xs_T": jnp.asarray(tree.X_sorted.T, dt),
-                "Ns_T": (jnp.asarray(self._n_src_sorted.T, dt)
-                         if self._n_src_sorted is not None
-                         else jnp.zeros((3, len(tree.X_sorted)), dt)),
-                "box_cnt": jnp.asarray(cnt, jnp.int32),
-                "box_dsp": jnp.asarray(tree.box_dsp, jnp.int32),
-                "xt_bT": jnp.asarray(xt_p.transpose(0, 2, 1), dt),
+                "xs_halo": jnp.asarray(to_halo(xs_p2), dt),
+                "ns_halo": jnp.asarray(to_halo(ns_p2), dt),
+                "xt_rast": jnp.asarray(xt_r.transpose(0, 1, 2, 4, 3),
+                                       dt),
+                "gidx_L": jnp.asarray(gidx, jnp.int32),
+                "rast_to_mort": jnp.asarray(inv, jnp.int32),
             })
         self._eval_jit = None
         return self
@@ -517,9 +539,7 @@ class KIFMM:
 
     # -- density scatter ---------------------------------------------------
     def _pad_density(self, f):
-        """-> (fp (B, cap, k0), fp_ovf (O, k0), fs_T (k0, N) sorted
-        transposed — the compact U-list P2P's density layout, or None
-        on the XLA path)."""
+        """-> (fp (B, cap, k0), fp_ovf (O, k0))."""
         f = np.asarray(f, np.float64).reshape(len(self._perm_q),
                                               self.ker_s2t.kdim0)
         cap = self.cap_s
@@ -533,10 +553,8 @@ class KIFMM:
             fo = fs[self.sov_idx] * self.sov_valid[..., None]
         else:
             fo = np.zeros((0, self.sov_cap, f.shape[1]))
-        fs_T = (jnp.asarray(fs.T, self.dtype) if self.use_pallas_p2p
-                else None)
         return (jnp.asarray(fp, self.dtype),
-                jnp.asarray(fo, self.dtype), fs_T)
+                jnp.asarray(fo, self.dtype))
 
     def _unsort_u(self, u_sorted: np.ndarray) -> np.ndarray:
         out = np.empty_like(u_sorted)
@@ -547,11 +565,11 @@ class KIFMM:
     def eval(self, f, n_src_override=None) -> np.ndarray:
         """u[trg] = sum_src K(trg, src) f[src] via the tree.  f in
         ORIGINAL source order; result in ORIGINAL target order."""
-        fp, fp_ovf, fs_T = self._pad_density(f)
+        fp, fp_ovf = self._pad_density(f)
         if self._eval_jit is None:
             self._eval_jit = jax.jit(self._eval_impl)
         with profile.Profile.scoped("KIFMM::Eval"):
-            u_pad, u_ovf = self._eval_jit(fp, fp_ovf, fs_T, self._data)
+            u_pad, u_ovf = self._eval_jit(fp, fp_ovf, self._data)
         profile.add_flops(self._flop_model())
         k1 = self.ker_l2t.kdim1
         nt = len(self.trg_tree.perm)
@@ -614,8 +632,7 @@ class KIFMM:
             fo = fs[di["sov_idx"]] * di["sov_valid"][..., None]
         else:
             fo = jnp.zeros((0, self.sov_cap, k0), self.dtype)
-        fs_T = fs.T if self.use_pallas_p2p else None
-        u_pad, u_ovf = self._eval_impl(fp, fo, fs_T, self._data)
+        u_pad, u_ovf = self._eval_impl(fp, fo, self._data)
         k1 = self.ker_l2t.kdim1
         nt = len(self.trg_tree.perm)
         u_flat = u_pad.reshape(-1, k1)
@@ -648,7 +665,7 @@ class KIFMM:
         return npts * (27 * self.pts_per_leaf * self.ker_s2t.flops
                        + 2 * self._ops.n_surf * 4)
 
-    def _eval_impl(self, fp, fp_ovf, fs_T, data):
+    def _eval_impl(self, fp, fp_ovf, data):
         ops = self._ops
         L = self.depth
         ns = ops.n_surf * ops.k0t      # equivalent-density dof per box
@@ -766,11 +783,11 @@ class KIFMM:
 
         # ---- P2P near field ----
         if self.use_pallas_p2p:
-            u_near = self._p2p_ulist_pallas(fs_T, data)
+            u_near = self._p2p_stencil_pallas(fp, data)
         else:
             u_near = self._p2p_xla_sweep(fp, data, u_far)
 
-        if (not self.use_pallas_p2p) and Os:
+        if Os:
             # slot-2 sources -> padded targets of their 27 nbrs:
             # compute all (j, box) contributions, then ONE scatter-add
             # (a scatter per ring step lowers terribly on TPU)
@@ -894,59 +911,28 @@ class KIFMM:
                              jnp.arange(27))
         return u_near
 
-    def _p2p_ulist_pallas(self, fs_T, data):
-        """Compact U-list P2P: per chunk of boxes, build exact
-        concatenated neighbor source ranges on device (points are
-        contiguous per box in the Morton sort) and run the per-box
-        Pallas kernel — no slab padding, overflow sources included
-        (the interaction-range organization of the reference's hot
-        loop, generic-kernel.txx:76-189)."""
-        from ..ops.pallas_p2p import p2p_ulist
+    def _p2p_stencil_pallas(self, fp, data):
+        """Near-field P2P via the halo-stencil Pallas kernel over the
+        raster-ordered box grid: NO gathers in the hot path (measured:
+        XLA's per-row gathers ran at ~12 GB/s and dominated every
+        gather-based formulation; the stencil's shifted-column block
+        fetches are plain DMAs).  One row gather converts the density
+        into raster order and one converts the result back."""
+        from ..ops.pallas_p2p import p2p_stencil
 
-        nb = data["nb"]
-        box_cnt, box_dsp = data["box_cnt"], data["box_dsp"]
-        Xs_T, Ns_T, xt_bT = data["Xs_T"], data["Ns_T"], data["xt_bT"]
-        B = self.src_tree.n_boxes
-        N = Xs_T.shape[1]
-        S = self.ulist_cap
-        T = self.cap_t
-        G = min(B, 2048)                  # B is a power of 8: G | B
-        nchunks = B // G
-        kspec = self.ker_s2t
-
-        def p2p_chunk(ci):
-            b0 = ci * G
-            nbg = lax.dynamic_slice(nb, (b0, jnp.int32(0)), (G, 27))
-            ok = nbg >= 0
-            nbs = jnp.where(ok, nbg, 0)
-            cnt_g = jnp.where(ok, box_cnt[nbs], 0)       # (G, 27)
-            ends = jnp.cumsum(cnt_g, axis=1)
-            starts = ends - cnt_g
-            total = ends[:, -1]
-            k = jnp.arange(S, dtype=jnp.int32)
-            j_of_k = jnp.sum(
-                (k[None, :, None] >= ends[:, None, :]).astype(jnp.int32),
-                axis=-1)                                  # (G, S)
-            j_of_k = jnp.clip(j_of_k, 0, 26)
-            valid = k[None, :] < total[:, None]
-            nb_k = jnp.take_along_axis(nbs, j_of_k, axis=1)
-            st_k = jnp.take_along_axis(starts, j_of_k, axis=1)
-            src = box_dsp[nb_k] + (k[None, :] - st_k)
-            src = jnp.where(valid, src, N - 1)
-            # (G, 3, S) via per-coordinate 1-D gathers (the layout the
-            # Pallas block specs require)
-            xs_g = jnp.stack([Xs_T[d][src] for d in range(3)], axis=1)
-            ns_g = jnp.stack([Ns_T[d][src] for d in range(3)], axis=1)
-            vmask = valid[:, None, :].astype(fs_T.dtype)
-            f_g = jnp.stack([fs_T[d][src]
-                             for d in range(fs_T.shape[0])],
-                            axis=1) * vmask
-            xt_g = lax.dynamic_slice(
-                xt_bT, (b0, jnp.int32(0), jnp.int32(0)), (G, 3, T))
-            return p2p_ulist(kspec, xt_g, xs_g, ns_g, f_g)
-
-        u = lax.map(p2p_chunk, jnp.arange(nchunks, dtype=jnp.int32))
-        return u.reshape(B, T, kspec.kdim1)
+        L = self.depth
+        n = 1 << L
+        cap2 = self.stencil_cap
+        k0 = self.ker_s2t.kdim0
+        fpad = jnp.pad(fp, ((0, 0), (0, cap2 - self.cap_s), (0, 0)))
+        g = fpad[data["rast_to_mort"]].reshape(n, n, n, cap2, k0)
+        g = g.transpose(0, 1, 4, 2, 3).reshape(n, n, k0, n * cap2)
+        f_halo = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (cap2, cap2)))
+        u_r = p2p_stencil(self.ker_s2t, n, cap2, self.cap_t,
+                          data["xt_rast"], data["xs_halo"],
+                          data["ns_halo"], f_halo)
+        u_r = u_r.reshape(n ** 3, self.cap_t, self.ker_s2t.kdim1)
+        return u_r[data["gidx_L"]]
 
     # -- grid helpers ------------------------------------------------------
     def _to_grid(self, q, lvl, gidx):

@@ -297,6 +297,118 @@ _LTILE_FNS = {
 }
 
 
+def _stencil_kernel_body(tile_fn, nside, cap_s, cap_t, k0, k1,
+                         xt_ref, *refs):
+    """One program = one z-column of `nside` boxes at grid position
+    (x, y).  refs = 9 neighbor-column xs blocks, 9 ns blocks, 9 f
+    blocks (each (1, 1, 3|k0, (nside+2)*cap_s), z-margin included),
+    then out_ref.
+
+    For each box z, the 27 neighbor slabs are 9 contiguous
+    (3*cap_s)-lane slices of columns already in VMEM (cap_s is a
+    128-multiple so the dynamic lane offsets stay tile-aligned) — the
+    near-field gather disappears into the stencil."""
+    out_ref = refs[27]
+    xs_refs = refs[0:9]
+    ns_refs = refs[9:18]
+    f_refs = refs[18:27]
+    x = pl.program_id(0)
+    y = pl.program_id(1)
+
+    valid = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            ok = ((x + dx >= 0) & (x + dx < nside)
+                  & (y + dy >= 0) & (y + dy < nside))
+            valid.append(ok.astype(jnp.float32))
+
+    S = 3 * cap_s
+
+    def body(z, _):
+        xt_t = xt_ref[0, 0, z]                             # (3, T)
+        off = pl.multiple_of(z * cap_s, cap_s)
+        us = None
+        for c in range(9):
+            xs_t = xs_refs[c][0, 0, :, pl.ds(off, S)]
+            ns_t = ns_refs[c][0, 0, :, pl.ds(off, S)]
+            f_t = f_refs[c][0, 0, :, pl.ds(off, S)] * valid[c]
+            u = tile_fn(xt_t, xs_t, ns_t, f_t)             # (T, k1)
+            us = u if us is None else us + u
+        out_ref[0, 0, z] = us
+        return 0
+
+    lax.fori_loop(0, nside, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "nside",
+                                             "cap_s", "cap_t",
+                                             "interpret"))
+def p2p_stencil(kernel: KernelSpec, nside: int, cap_s: int, cap_t: int,
+                xt_g, xs_g, ns_g, f_g,
+                interpret: Optional[bool] = None):
+    """Uniform-grid near-field P2P as a halo stencil: boxes in RASTER
+    order (x, y, z), per-box padded slabs; each program handles one
+    z-column and reads its 3x3 neighbor columns (z-margin baked into
+    the arrays), so the 27-neighbor interaction needs NO gather at
+    all — the reference hot loop (generic-kernel.txx:76-189) organized
+    as a halo-exchange stencil.
+
+    cap_s must be a multiple of 128 (lane-aligned z-slab slices);
+    cap_t a multiple of 8.
+
+    xt_g (n, n, n, 3, cap_t): target coords per box (raster order).
+    xs_g (n, n, 3, (n+2)*cap_s): source coords per column with zero
+        z-margins, point axis z-major.
+    ns_g like xs_g; f_g (n, n, k0, (n+2)*cap_s), ZERO in padding and
+    margins.
+    -> (n, n, n, cap_t, k1) unscaled potentials in raster order.
+    """
+    if interpret is None:
+        from ..config import config
+        interpret = config.pallas_interpret or (
+            jax.default_backend() not in ("tpu", "axon"))
+    k0, k1 = kernel.kdim0, kernel.kdim1
+    tile_fn = _LTILE_FNS[kernel.name]
+    n = nside
+
+    def shifted(dx, dy, rows):
+        return pl.BlockSpec(
+            (1, 1, rows, (n + 2) * cap_s),
+            lambda x, y, dx=dx, dy=dy: (
+                jnp.clip(x + dx, 0, n - 1), jnp.clip(y + dy, 0, n - 1),
+                0, 0),
+            memory_space=pltpu.VMEM)
+
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    in_specs = [pl.BlockSpec((1, 1, n, 3, cap_t),
+                             lambda x, y: (x, y, 0, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    in_specs += [shifted(dx, dy, 3) for dx, dy in offs]
+    in_specs += [shifted(dx, dy, 3) for dx, dy in offs]
+    in_specs += [shifted(dx, dy, k0) for dx, dy in offs]
+
+    out = pl.pallas_call(
+        functools.partial(_stencil_kernel_body, tile_fn, n, cap_s,
+                          cap_t, k0, k1),
+        grid=(n, n),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, n, cap_t, k1),
+                               lambda x, y: (x, y, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, n, n, cap_t, k1),
+                                       xt_g.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=int(n) ** 3 * int(cap_t) * 27 * int(cap_s)
+            * kernel.flops,
+            bytes_accessed=(xt_g.size + 9 * xs_g.size
+                            + 9 * f_g.size) * 4,
+            transcendentals=int(n) ** 3 * int(cap_t) * 27
+            * int(cap_s)),
+        interpret=interpret,
+    )(xt_g, *([xs_g] * 9), *([ns_g] * 9), *([f_g] * 9))
+    return out
+
+
 def _ulist_kernel_body(tile_fn, xt_ref, xs_ref, ns_ref, f_ref, out_ref):
     out_ref[0] = tile_fn(xt_ref[0], xs_ref[0], ns_ref[0], f_ref[0])
 

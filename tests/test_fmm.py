@@ -184,3 +184,66 @@ def test_kifmm_requires_normals_for_dipole_kernels():
     xt = RNG.random((200, 3))
     with pytest.raises(ValueError, match="normals"):
         KIFMM(Laplace3D_DxU, p=4, depth=2).setup(xs, xt)
+
+
+# -- adaptive-tree FMM (reference role: PVFMM, fmm-wrapper.txx:788) ------
+
+def test_adaptive_fmm_surface_points():
+    """AdaptiveFMM on a sphere-surface point set (the BIE far-field
+    distribution a uniform tree cannot refine into) matches the dense
+    direct sum."""
+    from sctl_tpu.fmm import AdaptiveFMM
+    from sctl_tpu.ops.kernels_np import full_matrix_np
+
+    rng = np.random.default_rng(2)
+    n = 3000
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    xs = d
+    f = rng.normal(size=(n, 1))
+    u_d = (full_matrix_np(Laplace3D_FxU, xs, xs).T
+           @ f.ravel()).reshape(n, 1)
+    fm = AdaptiveFMM(Laplace3D_FxU, p=6, max_pts=64).setup(xs, xs)
+    assert fm.tree.check_2to1()
+    u = fm.eval(f)
+    rel = np.abs(u - u_d).max() / np.abs(u_d).max()
+    assert rel < 5e-5, rel
+
+
+def test_adaptive_fmm_mixed_cluster_wx_lists():
+    """Mixed surface + dense cluster: deep adaptive tree with
+    populated W/X lists; matches direct; separate targets."""
+    from sctl_tpu.fmm import AdaptiveFMM
+    from sctl_tpu.ops.kernels_np import full_matrix_np
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    xs = np.concatenate([d, 0.05 * rng.random((n // 2, 3)) + 0.55])
+    xt = rng.random((500, 3)) * 2 - 1
+    f = rng.normal(size=(len(xs), 1))
+    u_d = (full_matrix_np(Laplace3D_FxU, xt, xs).T
+           @ f.ravel()).reshape(len(xt), 1)
+    fm = AdaptiveFMM(Laplace3D_FxU, p=6, max_pts=32).setup(xs, xt)
+    nW = sum(int(np.sum(w >= 0)) for w in fm._wlist if w is not None)
+    assert nW > 0          # the skewed tree must exercise W/X
+    u = fm.eval(f)
+    rel = np.abs(u - u_d).max() / np.abs(u_d).max()
+    assert rel < 5e-5, rel
+
+
+def test_adaptive_fmm_eval_jnp_traced():
+    """eval_jnp is jittable and matches eval."""
+    import jax
+    from sctl_tpu.fmm import AdaptiveFMM
+
+    rng = np.random.default_rng(4)
+    n = 1500
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    f = rng.normal(size=(n, 1))
+    fm = AdaptiveFMM(Laplace3D_FxU, p=6, max_pts=64).setup(d, d)
+    u1 = fm.eval(f)
+    u2 = np.asarray(jax.jit(fm.eval_jnp)(jnp.asarray(f)))
+    np.testing.assert_allclose(u2, u1, atol=1e-10 * np.abs(u1).max())

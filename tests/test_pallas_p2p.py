@@ -26,3 +26,36 @@ def test_pallas_matches_direct(name):
                           block_s=128, interpret=True))
     scale = np.abs(u_ref).max() + 1e-30
     np.testing.assert_allclose(u_pl / scale, u_ref / scale, atol=2e-5)
+
+
+def test_p2p_ulist_all_kernels_vs_direct():
+    """Per-box U-list kernel (lane-oriented tiles) against the dense
+    direct sum, every kernel in the library (interpret mode)."""
+    import jax.numpy as jnp
+    from sctl_tpu.ops.pallas_p2p import p2p_ulist
+    from sctl_tpu.ops.kernels import KERNELS
+    from sctl_tpu.ops.kernels_np import full_matrix_np
+
+    rng = np.random.default_rng(4)
+    G, T, S = 2, 8, 128
+    xt = rng.random((G, T, 3))
+    xs = rng.random((G, S, 3))
+    ns = rng.normal(size=(G, S, 3))
+    ns /= np.linalg.norm(ns, axis=-1, keepdims=True)
+    for name, ker in KERNELS.items():
+        f = rng.normal(size=(G, S, ker.kdim0))
+        # zero some tail densities (padding behavior)
+        f[:, S - 5:] = 0.0
+        u = np.asarray(p2p_ulist(
+            ker,
+            jnp.asarray(xt.transpose(0, 2, 1), jnp.float32),
+            jnp.asarray(xs.transpose(0, 2, 1), jnp.float32),
+            jnp.asarray(ns.transpose(0, 2, 1), jnp.float32),
+            jnp.asarray(f.transpose(0, 2, 1), jnp.float32),
+            interpret=True))
+        for g in range(G):
+            M = full_matrix_np(ker, xt[g], xs[g], ns[g])  # (S*k0, T*k1)
+            u_ref = (M.T @ f[g].ravel()).reshape(T, ker.kdim1) \
+                / ker.scale_factor
+            scale = np.abs(u_ref).max()
+            assert np.abs(u[g] - u_ref).max() < 2e-4 * scale, name
