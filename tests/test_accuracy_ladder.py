@@ -1,0 +1,65 @@
+"""Accuracy-ladder anchors (BASELINE.md): each rung's claimed rel err
+is asserted against a dense f64 direct sum, and the 1e-10 GMRES
+residual anchor (lin-solve.txx:273; gmres-rsult.txt) is met on the
+f64 path."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from sctl_tpu.fmm import KIFMM
+from sctl_tpu.ops import Laplace3D_FxU
+from sctl_tpu.ops.kernels_np import full_matrix_np
+
+RNG = np.random.default_rng(12)
+N = 2000
+XS = RNG.random((N, 3))
+F = RNG.normal(size=(N, 1))
+U_DENSE = (full_matrix_np(Laplace3D_FxU, XS, XS).T
+           @ F.ravel()).reshape(N, 1)
+
+
+def _rung(p, dtype):
+    kf = KIFMM(Laplace3D_FxU, p=p, depth=3, dtype=dtype,
+               use_pallas_p2p=False).setup(XS, XS)
+    u = kf.eval(F)
+    return np.abs(u - U_DENSE).max() / np.abs(U_DENSE).max()
+
+
+def test_rung_f32_p6():
+    assert _rung(6, jnp.float32) < 5e-4
+
+
+def test_rung_f32_p8_floor():
+    assert _rung(8, jnp.float32) < 1e-4
+
+
+def test_rung_f64_p6():
+    assert _rung(6, jnp.float64) < 5e-5
+
+
+def test_rung_f64_p8():
+    assert _rung(8, jnp.float64) < 1e-6
+
+
+def test_bie_gmres_residual_1e10():
+    """GMRES on the BIE operator reaches 1e-10 relative residual on
+    the f64 path (the algebraic anchor; operator accuracy is a
+    separate rung)."""
+    from sctl_tpu.bie import BoundaryIntegralOp, sphere_patches
+    from sctl_tpu.linalg import gmres
+    from sctl_tpu.ops import Laplace3D_DxU
+
+    lst = sphere_patches(n_per_face=1, q=6)
+    op = BoundaryIntegralOp(Laplace3D_DxU)
+    op.set_accuracy(1e-7)
+    op.add_elem_list(lst)
+    op.setup()
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.normal(size=op.dim(1)))
+
+    def A(sig):
+        return op.compute_potential_jnp(sig).reshape(-1) - 0.5 * sig
+
+    x, iters = gmres(A, b, tol=1e-10, max_iter=200)
+    r = np.asarray(A(x)) - np.asarray(b)
+    assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 1e-9
