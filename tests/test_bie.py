@@ -227,3 +227,68 @@ def test_stokes_torus_dirichlet_gmres_device():
         jnp.asarray(q)))
     rel = np.abs(u_in - u_ex).max() / np.abs(u_ex).max()
     assert rel < 1e-4, rel
+
+
+def test_bie_sharded_apply_matches(mesh8):
+    """Distributed operator application over the 8-device mesh
+    (reference: sharded ComputePotential, boundary_integral.txx:
+    1016-1142): same potentials as the single-device apply, and a
+    sharded GMRES solve matches the single-device solve."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from sctl_tpu.comm import Comm
+    from sctl_tpu.linalg import gmres
+
+    lst = sphere_patches(n_per_face=1, q=6)
+    op = BoundaryIntegralOp(Laplace3D_DxU)
+    op.set_accuracy(1e-7)
+    op.add_elem_list(lst)
+    op.setup()
+    rng = np.random.default_rng(1)
+    n = op.dim(0)
+    sigma = rng.normal(size=n)
+    U_ref = op.compute_potential(sigma)
+
+    comm = Comm.world(mesh8)
+    fn, Ct = op.sharded_apply_fn(comm)
+    p = 8
+    Cs = -(-n // p)
+    sig_pad = np.zeros(p * Cs)
+    sig_pad[:n] = sigma
+    sig_d = jax.device_put(
+        jnp.asarray(sig_pad.reshape(p * Cs, 1)),
+        NamedSharding(mesh8, P("x", None)))
+    U_sh = jax.jit(comm.run(fn, in_specs=P("x", None),
+                            out_specs=P("x", None)))(sig_d)
+    U_sh = np.asarray(U_sh)[:len(U_ref)]
+    np.testing.assert_allclose(U_sh, U_ref, atol=1e-10
+                               * np.abs(U_ref).max())
+
+    # sharded second-kind solve == single-device solve
+    X, _, _ = lst.get_node_coord()
+    src = np.array([[1.7, 0.8, 1.2]])
+    q = np.ones((1, 1))
+    from sctl_tpu.ops import direct_eval_blocked as deb
+    bc = np.asarray(deb(Laplace3D_FxU, jnp.asarray(X),
+                        jnp.asarray(src), jnp.asarray(q)))[:, 0]
+    bc_pad = np.zeros(p * Cs)
+    bc_pad[:n] = bc
+
+    apply_sh = jax.jit(comm.run(fn, in_specs=P("x", None),
+                                out_specs=P("x", None)))
+
+    def A_sh(sig):
+        u = apply_sh(sig.reshape(p * Cs, 1)).reshape(-1)
+        return u - 0.5 * sig
+
+    x_sh, it_sh = gmres(A_sh, jnp.asarray(bc_pad), tol=1e-8,
+                        max_iter=60)
+
+    def A_single(sig):
+        u = op.compute_potential_jnp(sig).reshape(-1)
+        return u - 0.5 * sig
+
+    x_1, it_1 = gmres(A_single, jnp.asarray(bc), tol=1e-8,
+                      max_iter=60)
+    np.testing.assert_allclose(np.asarray(x_sh)[:n], np.asarray(x_1),
+                               atol=1e-6 * np.abs(x_1).max())
