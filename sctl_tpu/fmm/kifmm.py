@@ -475,7 +475,11 @@ class KIFMM:
             # truncated at cap_s so the slot-2 overflow sideband keeps
             # its exact role
             n_side = 1 << L
-            self.stencil_cap = -(-self.cap_s // 128) * 128
+            # 64-multiple slabs (the packed parity window in
+            # p2p_stencil needs an even grid side; odd 64-multiples
+            # halve slab padding for occupancies <= 64)
+            align = 64 if n_side % 2 == 0 else 128
+            self.stencil_cap = -(-self.cap_s // align) * align
             cap2 = self.stencil_cap
             gidx = self._grid_index_np(L)          # morton -> raster
             self._gidx_np = gidx

@@ -148,3 +148,54 @@ def integrate(coeffs: np.ndarray, q: int, box) -> np.ndarray:
         scale = (box[ax, 1] - box[ax, 0]) / 2
         c = np.tensordot(w, c, axes=(0, 0)) * scale
     return c.reshape(k) if coeffs.ndim > 1 else float(c)
+
+
+def integ_kernel_face(ker, q: int, trg, side: float, face: int,
+                      order_q: int = 16) -> np.ndarray:
+    """Kernel integration over a box face: the matrix mapping tensor
+    Chebyshev coefficients of a density on `face` of the box
+    [0,side]^3 to the potential at target `trg` (reference:
+    BasisInterface::Integ<DIM=3,SUBDIM=2>, cheb_utils.hpp:338 +
+    Integ_ :1075 — there a bespoke shell/panel sweep; here the same
+    geometric-shell rule via bie.legacy_quadrature.duffy_quad with the
+    adapt floor set to the target's normal distance).
+
+    Faces are indexed like the reference: face = 2*axis + s where the
+    face plane is x[axis] = s*side; the face normal used for
+    double-layer kernels is +x[axis] for s=0 and -x[axis] for s=1
+    (cheb_utils.hpp:1147-1152).
+
+    Returns (q, q, k0, k1): coefficient (i0, i1) indexes T_{i0} along
+    the first in-face axis and T_{i1} along the second, where the
+    in-face axes are (axis+1)%3 and (axis+2)%3.
+    """
+    from ..bie.legacy_quadrature import duffy_quad
+    from ..ops.kernels_np import full_matrix_np
+
+    trg = np.asarray(trg, np.float64)
+    axis, s = face >> 1, face & 1
+    # rotated frame: in-face axes first, face axis last
+    perm = [(i + axis + 1) % 3 for i in range(3)]
+    t = np.array([trg[p] for p in perm])
+    t[2] -= side * s
+    r0 = abs(t[2]) / side
+    nds, wts = duffy_quad((t[0] / side, t[1] / side), order_q,
+                          adapt=(r0 if r0 > 0 else -1.0))
+    if len(nds) == 0:
+        return np.zeros((q, q, ker.kdim0, ker.kdim1))
+    # face points in the original frame
+    pts = np.empty((len(nds), 3))
+    pts[:, perm[0]] = nds[:, 0] * side
+    pts[:, perm[1]] = nds[:, 1] * side
+    pts[:, perm[2]] = side * s
+    nrm = np.zeros((len(nds), 3))
+    nrm[:, axis] = -1.0 if s else 1.0
+    M = full_matrix_np(ker, trg[None, :], pts,
+                       nrm if ker.needs_normal else None)
+    k0, k1 = ker.kdim0, ker.kdim1
+    Mq = M.reshape(len(nds), k0, k1)
+    # Chebyshev basis on the face (T_k on [-1,1] of the scaled coords)
+    B0 = _cheb_t(2 * nds[:, 0] - 1, q)              # (N, q)
+    B1 = _cheb_t(2 * nds[:, 1] - 1, q)
+    w = wts * side * side                           # area Jacobian
+    return np.einsum("ni,nj,n,nab->ijab", B0, B1, w, Mq)

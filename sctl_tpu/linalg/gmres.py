@@ -207,17 +207,25 @@ def _append_krylov(precond: KrylovPrecond, Q, H, cs, sn, k: int, dtype):
 
 def gmres_device(A: Callable, b, tol: float = 1e-10,
                  max_iter: int = 100, x0=None,
-                 use_abs_tol: bool = False):
-    """Fully device-resident GMRES cycle: the whole iteration (CGS2
-    Arnoldi, Givens rotations, convergence test) runs inside a
-    lax.while_loop — zero host synchronization per iteration (the host
-    variant `gmres` pays a device->host readback per Arnoldi step,
-    milliseconds each against a remote TPU).
+                 use_abs_tol: bool = False, restarts: int = 1,
+                 precond=None):
+    """Fully device-resident (restarted) GMRES: the whole iteration
+    (CGS2 Arnoldi, Givens rotations, convergence test) runs inside
+    lax.while_loops — zero host synchronization per iteration OR per
+    restart (the host variant `gmres` pays a device->host readback per
+    Arnoldi step, milliseconds each against a remote TPU).
 
-    A must be traceable (jit-compatible).  Returns (x, iters,
-    residual_norm) as device values; jit the enclosing call.  No
-    KrylovPrecond recycling here — use `gmres` when recycling across
-    solves matters more than iteration latency.
+    A must be traceable (jit-compatible).  `max_iter` is the cycle
+    length m; up to `restarts` cycles run (GMRES(m), each restarting
+    from the current iterate) until the residual passes tol.
+    `precond` is an optional (U, Qt) pair applied as the right
+    preconditioner y -> y + (y @ Qt) @ U — the device-side form of
+    KrylovPrecond.apply (reference lin-solve.txx:50-64); build it on
+    host with `gmres(..., krylov_precond=...)` and pass
+    `(kp._pairs[0][1], kp._pairs[0][0])`.
+
+    Returns (x, iters, residual_norm) as device values (iters =
+    total inner iterations across cycles); jit the enclosing call.
     """
     from jax import lax
 
@@ -225,19 +233,16 @@ def gmres_device(A: Callable, b, tol: float = 1e-10,
     dtype = b.dtype
     m = int(min(max_iter, N))
 
-    x0v = jnp.zeros_like(b) if x0 is None else x0
-    r = b - A(x0v) if x0 is not None else b
+    if precond is not None:
+        U_p, Qt_p = precond
+        apply_P = lambda y: y + (y @ Qt_p) @ U_p
+        Ap = lambda v: A(apply_P(v))
+    else:
+        apply_P = lambda y: y
+        Ap = A
+
     b_norm = jnp.sqrt(jnp.vdot(b, b))
     abs_tol = tol * jnp.where(use_abs_tol, 1.0, b_norm)
-    r_norm = jnp.sqrt(jnp.vdot(r, r))
-
-    Q = jnp.zeros((m + 1, N), dtype=dtype)
-    Q = Q.at[0].set(jnp.where(r_norm > 0, 1.0, 0.0) * r
-                    / jnp.where(r_norm > 0, r_norm, 1.0))
-    H = jnp.zeros((m + 1, m), dtype=dtype)
-    cs = jnp.zeros(m, dtype=dtype)
-    sn = jnp.zeros(m, dtype=dtype)
-    beta = jnp.zeros(m + 1, dtype=dtype).at[0].set(r_norm)
 
     def cond(state):
         k, _, _, _, _, beta, err = state
@@ -245,7 +250,7 @@ def gmres_device(A: Callable, b, tol: float = 1e-10,
 
     def body(state):
         k, Q, H, cs, sn, beta, _ = state
-        w = A(jnp.take(Q, k, axis=0))
+        w = Ap(jnp.take(Q, k, axis=0))
         # CGS2 (rows > k of Q are zero and contribute nothing)
         h1 = Q @ w
         w = w - h1 @ Q
@@ -283,18 +288,49 @@ def gmres_device(A: Callable, b, tol: float = 1e-10,
         err = jnp.abs(jnp.take(beta2, k + 1))
         return (k + 1, Q2, H2, cs2, sn2, beta2, err)
 
-    state0 = (jnp.int32(0), Q, H, cs, sn, beta, r_norm)
-    k, Q, H, cs, sn, beta, err = lax.while_loop(cond, body, state0)
+    def cycle(x):
+        """One GMRES(m) cycle from iterate x -> (x', iters, err)."""
+        r = b - A(x)
+        r_norm = jnp.sqrt(jnp.vdot(r, r))
+        Q = jnp.zeros((m + 1, N), dtype=dtype)
+        Q = Q.at[0].set(jnp.where(r_norm > 0, 1.0, 0.0) * r
+                        / jnp.where(r_norm > 0, r_norm, 1.0))
+        H = jnp.zeros((m + 1, m), dtype=dtype)
+        cs = jnp.zeros(m, dtype=dtype)
+        sn = jnp.zeros(m, dtype=dtype)
+        beta = jnp.zeros(m + 1, dtype=dtype).at[0].set(r_norm)
+        state0 = (jnp.int32(0), Q, H, cs, sn, beta, r_norm)
+        k, Q, H, cs, sn, beta, err = lax.while_loop(cond, body,
+                                                    state0)
+        # masked back substitution: unused rows get unit diagonal,
+        # zero rhs
+        i = jnp.arange(m)
+        Hm = H[:m, :m]
+        Hm = jnp.where((i[:, None] < k) & (i[None, :] < k), Hm,
+                       jnp.eye(m, dtype=dtype))
+        rhs = jnp.where(i < k, beta[:m], 0.0)
+        y = jax.scipy.linalg.solve_triangular(Hm, rhs, lower=False)
+        return x + apply_P(y @ Q[:m]), k, err
 
-    # masked back substitution: unused rows get unit diagonal, zero rhs
-    i = jnp.arange(m)
-    Hm = H[:m, :m]
-    Hm = jnp.where((i[:, None] < k) & (i[None, :] < k), Hm,
-                   jnp.eye(m, dtype=dtype))
-    rhs = jnp.where(i < k, beta[:m], 0.0)
-    y = jax.scipy.linalg.solve_triangular(Hm, rhs, lower=False)
-    x = x0v + y @ Q[:m]
-    return x, k, err
+    x0v = jnp.zeros_like(b) if x0 is None else x0
+    if restarts <= 1:
+        return cycle(x0v)
+
+    def outer_cond(st):
+        c, _, _, err = st
+        return (c < restarts) & (err > abs_tol)
+
+    def outer_body(st):
+        c, x, total, _ = st
+        x2, k, err = cycle(x)
+        return (c + 1, x2, total + k, err)
+
+    binf = jnp.asarray(jnp.inf, dtype=jnp.float64
+                       if dtype in (jnp.float64,) else jnp.float32)
+    _, x, total, err = lax.while_loop(
+        outer_cond, outer_body,
+        (jnp.int32(0), x0v, jnp.int32(0), binf))
+    return x, total, err
 
 
 class GMRES:

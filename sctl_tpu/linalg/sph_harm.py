@@ -169,6 +169,102 @@ class SphericalHarmonics:
                     (np_ / 2.0) * sq2 * (A - 1j * B))
         return jnp.fft.irfft(fm, n=np_, axis=-1)
 
+    def shc2grid_grad(self, shc):
+        """(.., (p+1)^2) -> (X, X_theta, X_phi), each (.., nt, np_):
+        the synthesis plus its theta- and phi-derivatives on the grid
+        (reference: SHC2Grid with the X_theta/X_phi outputs,
+        sph_harm.hpp:64-67, SHC2Grid_ sph_harm.txx:2221 — theta via
+        the MatLegendreGrad tables, phi as the im-scaled Fourier
+        synthesis)."""
+        p, nt, np_ = self.p, self.nt, self.np_
+        shc = jnp.asarray(shc)
+        c, s = self._unpack(shc)
+        nf = np_ // 2 + 1
+        batch = shc.shape[:-1]
+        cdtype = jnp.complex128 if shc.dtype == jnp.float64 \
+            else jnp.complex64
+        fm = jnp.zeros(batch + (nt, nf), dtype=cdtype)
+        fmt = jnp.zeros(batch + (nt, nf), dtype=cdtype)
+        sq2 = np.sqrt(2.0)
+        for m in range(p + 1):
+            A = jnp.einsum("ln,...l->...n", self._P[m], c[..., m, :])
+            B = jnp.einsum("ln,...l->...n", self._P[m], s[..., m, :])
+            At = jnp.einsum("ln,...l->...n", self._dP[m],
+                            c[..., m, :])
+            Bt = jnp.einsum("ln,...l->...n", self._dP[m],
+                            s[..., m, :])
+            if m == 0:
+                fm = fm.at[..., :, 0].set((np_ * A).astype(cdtype))
+                fmt = fmt.at[..., :, 0].set((np_ * At).astype(cdtype))
+            else:
+                fm = fm.at[..., :, m].set(
+                    (np_ / 2.0) * sq2 * (A - 1j * B))
+                fmt = fmt.at[..., :, m].set(
+                    (np_ / 2.0) * sq2 * (At - 1j * Bt))
+        X = jnp.fft.irfft(fm, n=np_, axis=-1)
+        X_theta = jnp.fft.irfft(fmt, n=np_, axis=-1)
+        mm = jnp.arange(nf)
+        X_phi = jnp.fft.irfft(fm * (1j * mm), n=np_, axis=-1)
+        return X, X_theta, X_phi
+
+    def shc2pole(self, shc):
+        """(.., (p+1)^2) -> (.., 2): values at the north (theta=0) and
+        south (theta=pi) poles (reference: SHC2Pole,
+        sph_harm.hpp:79, sph_harm.txx:350 — only the m=0 modes are
+        nonzero at the poles)."""
+        p = self.p
+        shc = jnp.asarray(shc)
+        P0 = _legendre_at(p, np.array([1.0, -1.0]))[0]  # (p+1, 2)
+        idx = np.array([l * l for l in range(p + 1)])   # c_{l,0} slots
+        c0 = shc[..., idx]
+        return jnp.einsum("...l,lk->...k", c0,
+                          jnp.asarray(P0, shc.dtype))
+
+    def write_vtk(self, path: str, coord_shc=None, value_shc=None,
+                  p_out: int = None):
+        """Write the spherical grid as a quad surface mesh, optionally
+        warped by a 3-component coordinate SHC and colored by a value
+        SHC (reference: SphericalHarmonics::WriteVTK,
+        sph_harm.hpp:81, sph_harm.txx:371-455)."""
+        from ..tree.vtu import VTUData
+        po = p_out if p_out is not None else self.p
+        sh = self if po == self.p else SphericalHarmonics(po)
+        nt, np_ = sh.nt, sh.np_
+        theta = sh.theta
+        phi = 2 * np.pi * np.arange(np_) / np_
+        if coord_shc is not None:
+            cs = np.asarray(coord_shc).reshape(3, -1)
+            if cs.shape[1] != sh_dim(po):      # resample p -> p_out
+                cs = np.asarray(
+                    sh.grid2shc(self.shc2grid(jnp.asarray(cs))))
+            X = np.asarray(sh.shc2grid(jnp.asarray(cs)))  # (3,nt,np_)
+        else:
+            st, ct = np.sin(theta), np.cos(theta)
+            X = np.stack([st[:, None] * np.cos(phi)[None, :],
+                          st[:, None] * np.sin(phi)[None, :],
+                          ct[:, None] * np.ones((1, np_))])
+        pts = X.reshape(3, -1).T                         # (nt*np_, 3)
+        # quads between adjacent theta rows, phi wraps around
+        i = np.arange(nt - 1)[:, None]
+        j = np.arange(np_)[None, :]
+        j1 = (j + 1) % np_
+        conn = np.stack([i * np_ + j, i * np_ + j1,
+                         (i + 1) * np_ + j1, (i + 1) * np_ + j],
+                        axis=-1).reshape(-1, 4)
+        data = VTUData()
+        fields = {}
+        if value_shc is not None:
+            vs = np.asarray(value_shc)
+            vs = vs.reshape(-1, vs.shape[-1])
+            if vs.shape[1] != sh_dim(po):
+                vs = np.asarray(
+                    sh.grid2shc(self.shc2grid(jnp.asarray(vs))))
+            V = np.asarray(sh.shc2grid(jnp.asarray(vs)))
+            fields["value"] = V.reshape(len(vs), -1).T
+        data.add_quads(pts, conn, **fields)
+        data.write_vtu(path)
+        return data
+
     def _unpack(self, shc):
         """packed -> (c[.., m, l], s[.., m, l]) with zeros for l<m."""
         p = self.p

@@ -25,6 +25,7 @@ from jax import lax
 
 from .. import profile
 from .kernels import KernelSpec
+from ..utils.debug import shape_contract
 
 
 def _pad_rows(a, n, pad_row=None):
@@ -44,6 +45,8 @@ def kernel_matrix(kernel: KernelSpec, xt, xs, ns=None):
     return kernel.full_matrix(xt, xs, ns)
 
 
+@shape_contract(xt=("T", 3, "float"), xs=("S", 3, "float"),
+                ns=("S", 3, "float"))
 def direct_eval(kernel: KernelSpec, xt, xs, f, ns=None,
                 digits: Optional[int] = None):
     """Single-tile direct sum: u[t,k1] = scale * sum_s K[t,s,k0,k1] f[s,k0].
@@ -92,6 +95,8 @@ def _direct_eval_blocked_impl(kernel, xt, xs, f, ns, block_t, block_s):
     return u * jnp.asarray(kernel.scale_factor, dtype=u.dtype)
 
 
+@shape_contract(xt=("T", 3, "float"), xs=("S", 3, "float"),
+                ns=("S", 3, "float"))
 def direct_eval_blocked(kernel: KernelSpec, xt, xs, f, ns=None,
                         block_t: int = 1024, block_s: int = 1024,
                         digits: Optional[int] = None):

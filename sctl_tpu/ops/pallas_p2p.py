@@ -305,9 +305,14 @@ def _stencil_kernel_body(tile_fn, nside, cap_s, cap_t, k0, k1,
     then out_ref.
 
     For each box z, the 27 neighbor slabs are 9 contiguous
-    (3*cap_s)-lane slices of columns already in VMEM (cap_s is a
-    128-multiple so the dynamic lane offsets stay tile-aligned) — the
-    near-field gather disappears into the stencil."""
+    (3*cap_s)-lane slices of columns already in VMEM — the near-field
+    gather disappears into the stencil.  Mosaic requires 128-aligned
+    dynamic lane offsets: when cap_s is a 128-multiple the slice
+    z*cap_s is naturally aligned; when cap_s is an odd 64-multiple the
+    slice start is down-aligned to 128 and a 64-lane-wider window is
+    read with a parity mask selecting the true 3*cap_s lanes (halves
+    the padded-pair count for occupancies <= 64: measured 267 -> 223
+    ms on the depth-6 1e7-point bench)."""
     out_ref = refs[27]
     xs_refs = refs[0:9]
     ns_refs = refs[9:18]
@@ -322,16 +327,28 @@ def _stencil_kernel_body(tile_fn, nside, cap_s, cap_t, k0, k1,
                   & (y + dy >= 0) & (y + dy < nside))
             valid.append(ok.astype(jnp.float32))
 
-    S = 3 * cap_s
+    packed = (cap_s % 128) != 0                # odd 64-multiple slabs
+    S = 3 * cap_s + (64 if packed else 0)
 
     def body(z, _):
         xt_t = xt_ref[0, 0, z]                             # (3, T)
-        off = pl.multiple_of(z * cap_s, cap_s)
+        if packed:
+            start = (z * cap_s) // 128 * 128
+            off = pl.multiple_of(start, 128)
+            rem = z * cap_s - start                        # 0 or 64
+            li = lax.broadcasted_iota(jnp.int32, (1, S), 1)
+            pmask = ((li >= rem)
+                     & (li < rem + 3 * cap_s)).astype(jnp.float32)
+        else:
+            off = pl.multiple_of(z * cap_s, cap_s)
+            pmask = None
         us = None
         for c in range(9):
             xs_t = xs_refs[c][0, 0, :, pl.ds(off, S)]
             ns_t = ns_refs[c][0, 0, :, pl.ds(off, S)]
             f_t = f_refs[c][0, 0, :, pl.ds(off, S)] * valid[c]
+            if pmask is not None:
+                f_t = f_t * pmask
             u = tile_fn(xt_t, xs_t, ns_t, f_t)             # (T, k1)
             us = u if us is None else us + u
         out_ref[0, 0, z] = us
@@ -353,8 +370,10 @@ def p2p_stencil(kernel: KernelSpec, nside: int, cap_s: int, cap_t: int,
     all — the reference hot loop (generic-kernel.txx:76-189) organized
     as a halo-exchange stencil.
 
-    cap_s must be a multiple of 128 (lane-aligned z-slab slices);
-    cap_t a multiple of 8.
+    cap_s must be a multiple of 64 (128-multiples slice lane-aligned;
+    odd 64-multiples use the parity-masked packed window — see
+    `_stencil_kernel_body` — and need nside even); cap_t a multiple
+    of 8.
 
     xt_g (n, n, n, 3, cap_t): target coords per box (raster order).
     xs_g (n, n, 3, (n+2)*cap_s): source coords per column with zero
@@ -367,6 +386,9 @@ def p2p_stencil(kernel: KernelSpec, nside: int, cap_s: int, cap_t: int,
         from ..config import config
         interpret = config.pallas_interpret or (
             jax.default_backend() not in ("tpu", "axon"))
+    if cap_s % 64 or (cap_s % 128 and nside % 2):
+        raise ValueError(f"cap_s={cap_s} must be a 64-multiple "
+                         "(odd 64-multiples need even nside)")
     k0, k1 = kernel.kdim0, kernel.kdim1
     tile_fn = _LTILE_FNS[kernel.name]
     n = nside

@@ -17,6 +17,7 @@ from typing import Dict, Optional, Sequence
 import numpy as np
 
 _VTK_VERTEX = 1
+_VTK_QUAD = 9
 _VTK_HEXAHEDRON = 12
 
 
@@ -52,6 +53,30 @@ class VTUData:
             [self.types, np.full(n, _VTK_VERTEX, np.uint8)])
         for k, v in point_data.items():
             v = np.asarray(v, np.float32).reshape(n, -1)
+            prev = self.point_data.get(k)
+            self.point_data[k] = v if prev is None else np.concatenate(
+                [prev, v])
+
+    def add_quads(self, X, conn, **point_data):
+        """Quad cells over shared vertices (surface meshes; reference
+        VTUData usage in SphericalHarmonics::WriteVTK,
+        sph_harm.txx:371-455).  X (N, 3) vertices, conn (C, 4)."""
+        X = np.asarray(X, np.float32).reshape(-1, 3)
+        conn = np.asarray(conn, np.int32).reshape(-1, 4)
+        base = 0 if self.coord is None else len(self.coord)
+        self.coord = X if self.coord is None else np.concatenate(
+            [self.coord, X])
+        n = len(conn)
+        self.connect = np.concatenate(
+            [self.connect, (base + conn).ravel().astype(np.int32)])
+        start = self.offset[-1] if len(self.offset) else 0
+        self.offset = np.concatenate(
+            [self.offset,
+             start + 4 * (1 + np.arange(n, dtype=np.int32))])
+        self.types = np.concatenate(
+            [self.types, np.full(n, _VTK_QUAD, np.uint8)])
+        for k, v in point_data.items():
+            v = np.asarray(v, np.float32).reshape(len(X), -1)
             prev = self.point_data.get(k)
             self.point_data[k] = v if prev is None else np.concatenate(
                 [prev, v])

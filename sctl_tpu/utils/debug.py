@@ -73,3 +73,91 @@ def install_traceback():
     stacktrace.h:112-131 signal handlers)."""
     import faulthandler
     faulthandler.enable(all_threads=True)
+
+
+def shape_contract(**specs):
+    """Declarative shape/dtype contracts on public entry points — the
+    functional analogue of MEMDEBUG's per-dereference bounds checking
+    (reference iterator.txx:42-55 checks every access against the
+    allocation's extent; here the extent IS the static shape, so the
+    check happens once, at the API boundary).
+
+    Specs map argument names to shape tuples whose entries are ints
+    (exact), strings (symbolic dims — equal strings must match across
+    all arguments), or None (any).  A trailing spec entry "float"/
+    "int" constrains the dtype kind.  Checks run only when
+    config.debug (SCTL_MEMDEBUG) is on; violations raise ValueError
+    eagerly with the offending argument named.
+
+        @shape_contract(xt=("N", 3), xs=("M", 3), f=("M", None))
+        def direct(xt, xs, f): ...
+    """
+    import inspect
+
+    def deco(fn):
+        sig = inspect.signature(fn)
+
+        @functools.wraps(fn)
+        def wrapped(*args, **kwargs):
+            if config.debug:
+                bound = sig.bind_partial(*args, **kwargs)
+                dims = {}
+                for name, spec in specs.items():
+                    if name not in bound.arguments:
+                        continue
+                    a = bound.arguments[name]
+                    if a is None or not hasattr(a, "shape"):
+                        continue
+                    shape_spec = [s for s in spec
+                                  if not isinstance(s, str)
+                                  or s not in ("float", "int")]
+                    kind = [s for s in spec
+                            if isinstance(s, str)
+                            and s in ("float", "int")]
+                    if len(a.shape) != len(shape_spec):
+                        raise ValueError(
+                            f"{fn.__name__}: {name} has rank "
+                            f"{len(a.shape)}, contract wants "
+                            f"{len(shape_spec)} ({spec})")
+                    for d, s in zip(a.shape, shape_spec):
+                        if s is None:
+                            continue
+                        if isinstance(s, int):
+                            if d != s:
+                                raise ValueError(
+                                    f"{fn.__name__}: {name} dim {d} "
+                                    f"!= {s} (contract {spec})")
+                        else:
+                            if s in dims and dims[s] != d:
+                                raise ValueError(
+                                    f"{fn.__name__}: {name} dim "
+                                    f"'{s}'={d} inconsistent with "
+                                    f"{dims[s]}")
+                            dims[s] = d
+                    if kind:
+                        want = (jnp.floating if kind[0] == "float"
+                                else jnp.integer)
+                        if not jnp.issubdtype(a.dtype, want):
+                            raise ValueError(
+                                f"{fn.__name__}: {name} dtype "
+                                f"{a.dtype} is not {kind[0]}")
+            return fn(*args, **kwargs)
+        return wrapped
+    return deco
+
+
+def checked_call(fn, *args, **kwargs):
+    """Run a traceable fn under jax.experimental.checkify with index
+    OOB + NaN + div-by-zero checks and RAISE on the first error — the
+    in-jit bounds story MEMDEBUG provides for pointers
+    (iterator.txx:42-55); gather/scatter indices inside jit are the
+    TPU analogue of raw pointer arithmetic.  Use in debug sessions:
+
+        out = checked_call(jax.jit(f), x)
+    """
+    from jax.experimental import checkify
+    errs = (checkify.index_checks | checkify.nan_checks
+            | checkify.div_checks)
+    err, out = checkify.checkify(fn, errors=errs)(*args, **kwargs)
+    err.throw()
+    return out

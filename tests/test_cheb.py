@@ -61,3 +61,55 @@ def test_vector_valued():
     got = cheb.evaluate(coeffs, q, tp, box)
     np.testing.assert_allclose(got[:, 0], tp[:, 0] ** 2, atol=1e-12)
     np.testing.assert_allclose(got[:, 1], np.cos(tp[:, 0]), atol=1e-10)
+
+
+def test_integ_kernel_face_on_face_singular():
+    """Laplace single layer of a CONSTANT density over the z=0 face of
+    the unit box, target at the face center: exact value is
+    ln(1+sqrt(2))/pi (corner primitive a*asinh(b/a)+b*asinh(a/b))
+    (reference Integ_ anchor, cheb_utils.hpp:1075)."""
+    from sctl_tpu.linalg.cheb import integ_kernel_face
+    from sctl_tpu.ops import Laplace3D_FxU
+
+    M = integ_kernel_face(Laplace3D_FxU, 4, [0.5, 0.5, 0.0],
+                          1.0, 4, order_q=16)       # face z=0
+    # constant density: T_0 x T_0 coefficient = 1
+    val = M[0, 0, 0, 0]
+    exact = np.log(1 + np.sqrt(2)) / np.pi
+    np.testing.assert_allclose(val, exact, rtol=1e-10)
+
+
+def test_integ_kernel_face_smooth_vs_gauss():
+    """Off-plane target, polynomial density: matches a fine tensor
+    Gauss oracle on every face orientation."""
+    from sctl_tpu.linalg.cheb import integ_kernel_face, _cheb_t
+    from sctl_tpu.linalg.quadrule import leg_quad_rule
+    from sctl_tpu.ops import Laplace3D_FxU, Laplace3D_DxU
+    from sctl_tpu.ops.kernels_np import full_matrix_np
+
+    trg = np.array([0.3, -0.4, 0.7])
+    side = 0.8
+    for ker in (Laplace3D_FxU, Laplace3D_DxU):
+        for face in range(6):
+            q = 3
+            M = integ_kernel_face(ker, q, trg, side, face, order_q=14)
+            # oracle: 40^2 Gauss on the face
+            x1, w1 = leg_quad_rule(40)
+            u, v = np.meshgrid(x1, x1, indexing="ij")
+            axis, s = face >> 1, face & 1
+            perm = [(i + axis + 1) % 3 for i in range(3)]
+            pts = np.empty((1600, 3))
+            pts[:, perm[0]] = u.ravel() * side
+            pts[:, perm[1]] = v.ravel() * side
+            pts[:, perm[2]] = side * s
+            nrm = np.zeros((1600, 3))
+            nrm[:, axis] = -1.0 if s else 1.0
+            K = full_matrix_np(ker, trg[None], pts,
+                               nrm if ker.needs_normal else None)
+            K = K.reshape(1600, ker.kdim0, ker.kdim1)
+            w2 = np.outer(w1, w1).ravel() * side * side
+            B0 = _cheb_t(2 * u.ravel() - 1, q)
+            B1 = _cheb_t(2 * v.ravel() - 1, q)
+            Mref = np.einsum("ni,nj,n,nab->ijab", B0, B1, w2, K)
+            np.testing.assert_allclose(M, Mref, atol=1e-10
+                                       * np.abs(Mref).max())

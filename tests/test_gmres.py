@@ -141,3 +141,53 @@ def test_gmres_device_early_convergence():
                               jnp.asarray(b), tol=1e-12, max_iter=50)
     assert int(it) <= 2
     np.testing.assert_allclose(np.asarray(x), 0.5, atol=1e-12)
+
+
+def test_gmres_device_restarted():
+    """GMRES(m) with restarts (device-resident outer loop) converges
+    where a single short cycle cannot."""
+    import jax
+    import jax.numpy as jnp
+    from sctl_tpu.linalg.gmres import gmres_device
+
+    rng = np.random.default_rng(3)
+    n = 40
+    A = np.eye(n) + 0.25 * rng.normal(size=(n, n)) / np.sqrt(n)
+    b = rng.normal(size=n)
+    op = lambda v: jnp.asarray(A) @ v
+    x1, it1, err1 = gmres_device(op, jnp.asarray(b), tol=1e-10,
+                                 max_iter=10, restarts=1)
+    xr, itr, errr = gmres_device(op, jnp.asarray(b), tol=1e-10,
+                                 max_iter=10, restarts=8)
+    assert float(err1) > 1e-10            # one short cycle: not there
+    assert float(errr) <= 1e-10 * np.linalg.norm(b) * 1.01
+    res = np.linalg.norm(A @ np.asarray(xr) - b)
+    assert res < 1e-9 * np.linalg.norm(b)
+    assert int(itr) > int(it1)
+
+
+def test_gmres_device_krylov_precond():
+    """Device-side (U, Qt) right preconditioner: a second solve with
+    the recycled subspace converges in fewer iterations (reference
+    KrylovPrecond behavior, lin-solve.hpp:21-64)."""
+    import jax.numpy as jnp
+    from sctl_tpu.linalg.gmres import (gmres, gmres_device,
+                                       KrylovPrecond)
+
+    rng = np.random.default_rng(5)
+    n = 60
+    A = np.eye(n) + 0.3 * rng.normal(size=(n, n)) / np.sqrt(n)
+    op = lambda v: jnp.asarray(A) @ v
+    kp = KrylovPrecond()
+    b1 = rng.normal(size=n)
+    gmres(op, jnp.asarray(b1), tol=1e-10, krylov_precond=kp)
+    assert kp.rank() > 0
+    Qt, U = kp._pairs[0]
+    b2 = rng.normal(size=n)
+    x_np, it_np, _ = gmres_device(op, jnp.asarray(b2), tol=1e-10,
+                                  max_iter=n)
+    x_p, it_p, _ = gmres_device(op, jnp.asarray(b2), tol=1e-10,
+                                max_iter=n, precond=(U, Qt))
+    res = np.linalg.norm(A @ np.asarray(x_p) - b2)
+    assert res < 1e-8 * np.linalg.norm(b2)
+    assert int(it_p) < int(it_np)

@@ -59,3 +59,56 @@ def test_p2p_ulist_all_kernels_vs_direct():
                 / ker.scale_factor
             scale = np.abs(u_ref).max()
             assert np.abs(u[g] - u_ref).max() < 2e-4 * scale, name
+
+
+@pytest.mark.parametrize("cap_s", [64, 128])
+def test_p2p_stencil_vs_direct(cap_s):
+    """Halo-stencil kernel against a per-box 27-neighbor direct sum,
+    both the lane-aligned (cap_s=128) and the packed parity-window
+    (cap_s=64, odd 64-multiple) paths (interpret mode)."""
+    from sctl_tpu.ops.pallas_p2p import p2p_stencil
+    from sctl_tpu.ops import direct_eval
+
+    rng = np.random.default_rng(11)
+    n, cap_t, npb = 4, 8, 5          # grid side, targets/box, srcs/box
+    ker = KERNELS["Stokes3D-FxU"]
+    k0, k1 = ker.kdim0, ker.kdim1
+    w = 1.0 / n
+    xs_box = np.zeros((n, n, n, cap_s, 3), np.float32)
+    f_box = np.zeros((n, n, n, cap_s, k0), np.float32)
+    xt_box = np.zeros((n, n, n, cap_t, 3), np.float32)
+    for x in range(n):
+        for y in range(n):
+            for z in range(n):
+                lo = np.array([x, y, z]) * w
+                xs_box[x, y, z, :npb] = lo + w * rng.random((npb, 3))
+                f_box[x, y, z, :npb] = rng.normal(size=(npb, k0))
+                xt_box[x, y, z] = lo + w * rng.random((cap_t, 3))
+    # halo layout: (n, n, 3, (n+2)*cap_s) columns, z-major + margins
+    xs_g = np.pad(
+        xs_box.transpose(0, 1, 4, 2, 3).reshape(n, n, 3, n * cap_s),
+        ((0, 0), (0, 0), (0, 0), (cap_s, cap_s)))
+    f_g = np.pad(
+        f_box.transpose(0, 1, 4, 2, 3).reshape(n, n, k0, n * cap_s),
+        ((0, 0), (0, 0), (0, 0), (cap_s, cap_s)))
+    u = np.asarray(p2p_stencil(
+        ker, n, cap_s, cap_t,
+        jnp.asarray(xt_box.transpose(0, 1, 2, 4, 3)),
+        jnp.asarray(xs_g), jnp.asarray(np.zeros_like(xs_g)),
+        jnp.asarray(f_g), interpret=True))
+    for x, y, z in [(0, 0, 0), (1, 2, 3), (3, 3, 3), (2, 1, 0)]:
+        nb_xs, nb_f = [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    bx, by, bz = x + dx, y + dy, z + dz
+                    if not all(0 <= v < n for v in (bx, by, bz)):
+                        continue
+                    nb_xs.append(xs_box[bx, by, bz, :npb])
+                    nb_f.append(f_box[bx, by, bz, :npb])
+        u_ref = np.asarray(direct_eval(
+            ker, jnp.asarray(xt_box[x, y, z]),
+            jnp.asarray(np.concatenate(nb_xs)),
+            jnp.asarray(np.concatenate(nb_f)))) / ker.scale_factor
+        scale = np.abs(u_ref).max()
+        assert np.abs(u[x, y, z] - u_ref).max() < 2e-4 * scale

@@ -293,3 +293,76 @@ def test_stokes_dl_jump():
     f = np.asarray(sh.vecshc_eval(Sj, th, ph))
     jump = u_out - u_in
     np.testing.assert_allclose(jump, f, rtol=0, atol=2e-5)
+
+
+def test_shc2grid_grad():
+    """X_theta/X_phi outputs (sph_harm.hpp:64-67): analytic check on
+    Y_1^0 (prop. cos t) and Y_1^1 (prop. sin t cos ph), plus a random
+    band-limited field against spectral finite differences."""
+    p = 6
+    sh = SphericalHarmonics(p, nt=p + 2, np_=2 * p + 2)
+    th = sh.theta
+    ph = 2 * np.pi * np.arange(sh.np_) / sh.np_
+    c10 = np.sqrt(3 / (4 * np.pi))
+    shc = np.zeros(sh_dim(p))
+    shc[1] = 1.0                      # c_{1,0}
+    X, Xt, Xp = (np.asarray(a) for a in sh.shc2grid_grad(shc))
+    np.testing.assert_allclose(X, c10 * np.cos(th)[:, None]
+                               * np.ones_like(ph)[None], atol=1e-12)
+    np.testing.assert_allclose(Xt, -c10 * np.sin(th)[:, None]
+                               * np.ones_like(ph)[None], atol=1e-12)
+    np.testing.assert_allclose(Xp, 0 * Xp, atol=1e-12)
+    # Y_1^1: c_{1,1} slot -> sqrt(2)*P[1,1]*cos(phi)
+    shc = np.zeros(sh_dim(p))
+    shc[2] = 1.0
+    X, Xt, Xp = (np.asarray(a) for a in sh.shc2grid_grad(shc))
+    a11 = -np.sqrt(3 / (8 * np.pi)) * np.sqrt(2)
+    np.testing.assert_allclose(
+        X, a11 * np.sin(th)[:, None] * np.cos(ph)[None], atol=1e-12)
+    np.testing.assert_allclose(
+        Xt, a11 * np.cos(th)[:, None] * np.cos(ph)[None], atol=1e-12)
+    np.testing.assert_allclose(
+        Xp, -a11 * np.sin(th)[:, None] * np.sin(ph)[None], atol=1e-12)
+    # random band-limited: phi-derivative vs spectral FFT derivative
+    shc = RNG.normal(size=sh_dim(p))
+    X, Xt, Xp = (np.asarray(a) for a in sh.shc2grid_grad(shc))
+    fk = np.fft.rfft(X, axis=-1)
+    Xp_ref = np.fft.irfft(fk * 1j * np.arange(fk.shape[-1]),
+                          n=sh.np_, axis=-1)
+    np.testing.assert_allclose(Xp, Xp_ref, atol=1e-11)
+    np.testing.assert_allclose(X, np.asarray(sh.shc2grid(shc)),
+                               atol=1e-12)
+
+
+def test_shc2pole():
+    """SHC2Pole (sph_harm.txx:350) equals eval() at the poles."""
+    p = 8
+    sh = SphericalHarmonics(p)
+    shc = RNG.normal(size=(3, sh_dim(p)))
+    pole = np.asarray(sh.shc2pole(shc))               # (3, 2)
+    for k, th in enumerate([0.0, np.pi]):
+        u = np.array([sh.eval(shc[j], np.array([th]),
+                              np.array([0.0]))[0] for j in range(3)])
+        np.testing.assert_allclose(pole[:, k], u, atol=1e-10)
+
+
+def test_write_vtk(tmp_path):
+    """Quad-mesh VTK output for a deformed sphere with values
+    (reference WriteVTK, sph_harm.hpp:81)."""
+    p = 4
+    sh = SphericalHarmonics(p)
+    # coordinate SHC of the unit sphere: x,y,z are degree-1 harmonics
+    th = sh.theta
+    ph = 2 * np.pi * np.arange(sh.np_) / sh.np_
+    st, ct = np.sin(th), np.cos(th)
+    X = np.stack([st[:, None] * np.cos(ph)[None],
+                  st[:, None] * np.sin(ph)[None],
+                  ct[:, None] * np.ones((1, sh.np_))])
+    cs = np.asarray(sh.grid2shc(X))
+    val = RNG.normal(size=(1, sh_dim(p)))
+    path = str(tmp_path / "sphere")
+    sh.write_vtk(path, coord_shc=cs, value_shc=val)
+    txt = open(path + ".vtu").read()
+    assert "UnstructuredGrid" in txt and "value" in txt
+    # plain (unwarped) grid also writes
+    sh.write_vtk(str(tmp_path / "plain"))

@@ -117,3 +117,55 @@ def test_checkpoint_krylov_roundtrip(tmp_path):
     _, it_fresh = gmres(op, b2, tol=1e-10)
     _, it_restored = gmres(op, b2, tol=1e-10, krylov_precond=kp2)
     assert it_restored <= it_fresh
+
+
+def test_shape_contract():
+    """MEMDEBUG-style shape/dtype contracts at API boundaries
+    (reference iterator.txx:42-55 bounds discipline, SURVEY §5.2)."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+    from sctl_tpu.config import config
+    from sctl_tpu.utils.debug import shape_contract
+    from sctl_tpu.ops import Laplace3D_FxU, direct_eval
+
+    @shape_contract(a=("N", 3, "float"), b=("N", None))
+    def f(a, b):
+        return a.sum() + b.sum()
+
+    a = jnp.ones((5, 3))
+    old = config.debug
+    config.debug = True
+    try:
+        f(a, jnp.ones((5, 2)))                      # OK
+        with pytest.raises(ValueError):
+            f(a, jnp.ones((4, 2)))                  # 'N' mismatch
+        with pytest.raises(ValueError):
+            f(jnp.ones((5, 2)), jnp.ones((5, 2)))   # dim != 3
+        with pytest.raises(ValueError):
+            f(jnp.ones((5, 3), jnp.int32), jnp.ones((5, 2)))
+        # a real entry point carries the contract
+        with pytest.raises(ValueError):
+            direct_eval(Laplace3D_FxU, jnp.ones((4, 2)),
+                        jnp.ones((3, 3)), jnp.ones((3, 1)))
+    finally:
+        config.debug = old
+    # checks off when debug is off
+    assert float(f(jnp.ones((4, 3)), jnp.ones((9, 2)))) == 30.0
+
+
+def test_checked_call_catches_oob():
+    """checkify index-bounds story (MEMDEBUG pointer-bounds analogue):
+    an out-of-bounds gather inside jit raises instead of clamping."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    from sctl_tpu.utils.debug import checked_call
+
+    def f(x, i):
+        return x[i]
+
+    x = jnp.arange(4.0)
+    assert float(checked_call(f, x, jnp.int32(2))) == 2.0
+    with pytest.raises(Exception):
+        checked_call(f, x, jnp.int32(7))
