@@ -141,7 +141,8 @@ class TensorBasis:
         return out
 
 
-def duffy_quad(coord, order: int, adapt: float = -1.0
+def duffy_quad(coord, order: int, adapt: float = -1.0,
+               ratio: float = 0.0, max_panel: float = 1.0
                ) -> Tuple[np.ndarray, np.ndarray]:
     """Quadrature on [0,1]^2 concentrating geometrically at `coord`
     (which may lie outside the square): concentric rectangular shells
@@ -149,12 +150,22 @@ def duffy_quad(coord, order: int, adapt: float = -1.0
     trapezoidal side panels carrying a mapped tensor Gauss rule
     (reference Quadrature::DuffyQuad, boundary_quadrature.hpp:269-383;
     `adapt` >= 0 inserts a breakpoint at that radius — the near-
-    singular refinement floor).
+    singular refinement floor).  `ratio` overrides the shell growth
+    factor (default order/2, the reference's choice; smaller ratios
+    give more, narrower shells — needed when the INTEGRAND's smooth
+    factor varies on scales the wide outer shells cannot resolve,
+    e.g. strongly curved charts).  `max_panel` < 1 splits each
+    panel's CROSS extent into segments no wider than that — the
+    shells only refine radially, so cross-direction variation of the
+    smooth factor (chart curvature) is otherwise resolved by order
+    alone.
 
     Returns (nodes (N, 2), weights (N,))."""
     coord = np.asarray(coord, np.float64)
     q1, w1 = leg_quad_rule(order)
     eps = 16 * np.finfo(np.float64).eps
+    if ratio <= 1.0:
+        ratio = 0.5 * order
 
     # shell radii: breakpoints at 0, adapt, distances to the four
     # edge lines, geometric fill with ratio order/2 between them
@@ -166,8 +177,8 @@ def duffy_quad(coord, order: int, adapt: float = -1.0
             X.append(v)
     radii = [X[0]]
     for v in X[1:]:
-        while radii[-1] > 0.0 and 0.5 * order * radii[-1] < v:
-            radii.append(0.5 * order * radii[-1])
+        while radii[-1] > 0.0 and ratio * radii[-1] < v:
+            radii.append(ratio * radii[-1])
         radii.append(v)
 
     yy, zz = np.meshgrid(q1, q1, indexing="ij")     # panel coords
@@ -197,16 +208,20 @@ def duffy_quad(coord, order: int, adapt: float = -1.0
                 if th * max(w0, w1_) < eps:
                     continue
                 # blend: z along the d0 (depth) axis, y across
+                # (cross extent split into <= max_panel segments)
                 d1 = 1 - d0
-                nd = np.empty((len(yy), 2))
-                nd[:, d0] = f0 * (1 - zz) + f1 * zz
-                nd[:, d1] = ((lo0[d1] * (1 - yy) + hi0[d1] * yy)
-                             * (1 - zz)
-                             + (lo1[d1] * (1 - yy) + hi1[d1] * yy)
-                             * zz)
-                wt = ww * th * (w0 * (1 - zz) + w1_ * zz)
-                nds.append(nd)
-                wts.append(wt)
+                nseg = max(1, int(np.ceil(max(w0, w1_) / max_panel)))
+                for sg in range(nseg):
+                    ys = (sg + yy) / nseg
+                    nd = np.empty((len(yy), 2))
+                    nd[:, d0] = f0 * (1 - zz) + f1 * zz
+                    nd[:, d1] = ((lo0[d1] * (1 - ys) + hi0[d1] * ys)
+                                 * (1 - zz)
+                                 + (lo1[d1] * (1 - ys) + hi1[d1] * ys)
+                                 * zz)
+                    wt = (ww / nseg) * th * (w0 * (1 - zz) + w1_ * zz)
+                    nds.append(nd)
+                    wts.append(wt)
     if not nds:
         return np.zeros((0, 2)), np.zeros((0,))
     return np.concatenate(nds), np.concatenate(wts)

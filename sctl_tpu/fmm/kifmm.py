@@ -100,7 +100,7 @@ def _op_cache_path(ker_trans, p, depth, scale, rcond):
     import os
     from ..config import config
     key = (f"kifmm_{ker_trans.name}_p{p}_d{depth}"
-           f"_s{scale:.12g}_r{rcond:.3g}_v2.npz")
+           f"_s{scale:.12g}_r{rcond:.3g}_v3.npz")
     return os.path.join(config.data_path, key)
 
 
@@ -195,6 +195,7 @@ class KIFMMOperators:
         p=6 — the per-offset GEMMs run in the compressed space and one
         basis GEMM per box expands afterwards.  Lossless to ~1e-12."""
         self.m2l_u, self.m2l_c = [], []
+        self.m2l_v, self.m2l_a = [], []
         for M in self.m2l:                         # (316, ns, ns)
             ns_ = M.shape[1]
             A = np.transpose(M, (1, 0, 2)).reshape(ns_, -1)
@@ -205,8 +206,21 @@ class KIFMMOperators:
             r = min(r, ns_)
             Ur = U[:, :r]
             self.m2l_u.append(np.ascontiguousarray(Ur))
-            self.m2l_c.append(np.einsum("nm,omk->onk",
-                                        Ur.T, M, optimize=True))
+            C = np.einsum("nm,omk->onk", Ur.T, M, optimize=True)
+            self.m2l_c.append(C)
+            # second side: joint ROW basis V of the compressed family
+            # (M_d = U A_d V^T) — the source grid is projected onto V
+            # ONCE per level, so every scan step reads r2 <= ns
+            # channels instead of ns (the M2L sweep is traffic-bound)
+            B = np.transpose(C, (2, 0, 1)).reshape(ns_, -1)
+            V, s2, _ = np.linalg.svd(B, full_matrices=False)
+            r2 = int(np.searchsorted(-(s2 / max(s2[0], 1e-300)),
+                                     -1e-10))
+            r2 = min(max(8, -(-r2 // 8) * 8), ns_)
+            Vr = V[:, :r2]
+            self.m2l_v.append(np.ascontiguousarray(Vr))
+            self.m2l_a.append(np.einsum("ork,kn->orn", C, Vr,
+                                        optimize=True))
 
     def _to_device(self, dtype, ker_s2t, ker_trans, ker_l2t):
         cast = lambda a: jnp.asarray(a, dtype=dtype)
@@ -217,6 +231,8 @@ class KIFMMOperators:
         self.m2l_d = [cast(a) for a in self.m2l]
         self.m2l_u_d = [cast(a) for a in self.m2l_u]
         self.m2l_c_d = [cast(a) for a in self.m2l_c]
+        self.m2l_v_d = [cast(a) for a in self.m2l_v]
+        self.m2l_a_d = [cast(a) for a in self.m2l_a]
         # concatenated single-GEMM forms: q_parent = qc.(P,8n) @ m2m_cat
         # (8n,m); child = q_dn.(P,n) @ l2l_cat (n,8m) — one large MXU
         # GEMM per level instead of 8 small batched ones (measured 13x
@@ -242,7 +258,8 @@ class KIFMMOperators:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             arrs = {}
             for name in ("uc2e", "dc2e", "m2m", "l2l", "m2l",
-                         "m2l_u", "m2l_c", "surf_in", "surf_out"):
+                         "m2l_u", "m2l_c", "m2l_v", "m2l_a",
+                         "surf_in", "surf_out"):
                 for i, a in enumerate(getattr(self, name)):
                     arrs[f"{name}_{i}"] = a
             np.savez(path, **arrs)
@@ -259,6 +276,8 @@ class KIFMMOperators:
                             ("m2m", depth), ("l2l", depth),
                             ("m2l", depth + 1), ("m2l_u", depth + 1),
                             ("m2l_c", depth + 1),
+                            ("m2l_v", depth + 1),
+                            ("m2l_a", depth + 1),
                             ("surf_in", depth + 1),
                             ("surf_out", depth + 1)):
                 setattr(self, name,
@@ -439,6 +458,8 @@ class KIFMM:
             "l2l_cat": tuple(ops.l2l_cat_d),
             "m2l_u": tuple(ops.m2l_u_d),
             "m2l_c": tuple(ops.m2l_c_d),
+            "m2l_v": tuple(ops.m2l_v_d),
+            "m2l_a": tuple(ops.m2l_a_d),
             "surf_out_L": ops.surf_out_d[L],
             **self._parity_tables(ops),
             "gidx": tuple(jnp.asarray(self._grid_index_np(l))
@@ -733,23 +754,33 @@ class KIFMM:
             q_grid = self._to_grid(q_levels[lvl], lvl, data["gidx"][lvl])
             qr = q_grid.reshape(h, 2, h, 2, h, 2, ns).transpose(
                 1, 3, 5, 0, 2, 4, 6)               # (2,2,2,h,h,h,ns)
+            # two-sided compression M_d = U A_d V^T: project the grid
+            # onto the joint row basis ONCE (the scan is traffic-bound;
+            # every step now reads r2 <= ns channels)
+            V = data["m2l_v"][lvl]                      # (ns, r2)
+            r2 = V.shape[1]
+            qr = jnp.einsum("...n,nk->...k", qr, V, precision=hi)
             qrp = jnp.pad(qr, ((0, 0), (0, 0), (0, 0), (2, 2), (2, 2),
                                (2, 2), (0, 0)))
             U = data["m2l_u"][lvl]                      # (ns, r)
             r = U.shape[1]
+            # (per-parity sequential scan: measured FASTER than
+            # batching all 8 parities per step — the 8-slice stack
+            # materializes an 84MB intermediate per trip, tripling
+            # traffic; 314 ms vs 140 ms at depth 6)
             outs = []
             for c in range(8):
                 ebs = data["m2l_ebs"][c]                # (189, 3)
                 eps = data["m2l_eps"][c]                # (189, 3)
-                mats = data["m2l_c"][lvl][data["m2l_vidx"][c]]
+                mats = data["m2l_a"][lvl][data["m2l_vidx"][c]]
 
-                def m2l_step(acc, blk, qrp=qrp, h=h):
-                    eb, ep, mat = blk                   # mat (r, ns)
+                def m2l_step(acc, blk, qrp=qrp, h=h, r2=r2):
+                    eb, ep, mat = blk                   # mat (r, r2)
                     sl = lax.dynamic_slice(
                         qrp, (ep[0], ep[1], ep[2], 2 + eb[0],
                               2 + eb[1], 2 + eb[2], jnp.int32(0)),
-                        (1, 1, 1, h, h, h, ns))
-                    sl = sl.reshape(h, h, h, ns)
+                        (1, 1, 1, h, h, h, r2))
+                    sl = sl.reshape(h, h, h, r2)
                     return acc + jnp.einsum("xyzn,rn->xyzr", sl, mat,
                                             precision=hi), None
 

@@ -64,3 +64,24 @@ def test_dist_double_layer(mesh8):
         Laplace3D_DxU, jnp.asarray(xt), jnp.asarray(xs),
         jnp.asarray(f), ns=jnp.asarray(nrm)))
     assert rel_err(u, u_ref) < 1e-3, rel_err(u, u_ref)
+
+
+def test_adaptive_fmm_sharded_matches(mesh8):
+    """eval_sharded over the 8-device mesh == single-device eval
+    (work-sharded leaf stages + psum'd moments)."""
+    import jax.numpy as jnp
+    from sctl_tpu.fmm.adaptive import AdaptiveFMM
+    from sctl_tpu.ops import Laplace3D_FxU
+
+    rng = np.random.default_rng(42)
+    # surface-concentrated (nonuniform) points: the adaptive case
+    th = rng.uniform(0, np.pi, 3000)
+    ph = rng.uniform(0, 2 * np.pi, 3000)
+    xs = np.stack([np.sin(th) * np.cos(ph), np.sin(th) * np.sin(ph),
+                   np.cos(th)], 1)
+    f = rng.normal(size=(3000, 1))
+    fmm = AdaptiveFMM(Laplace3D_FxU, p=4, max_pts=40).setup(xs, xs)
+    u1 = fmm.eval(f)
+    u8 = fmm.eval_sharded(f, mesh8)
+    scale = np.abs(u1).max()
+    assert np.abs(u8 - u1).max() < 1e-10 * scale
