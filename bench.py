@@ -116,6 +116,11 @@ def bench_bie(iters: int = 3) -> dict:
 
 
 def main():
+    # persistent executable cache: the depth-6 KIFMM program compiles
+    # ~100 s cold; cached runs skip it (harmless no-op if the backend
+    # does not support serialization)
+    from sctl_tpu.config import enable_compile_cache
+    enable_compile_cache()
     try:
         print(json.dumps(bench_bie()))
     except Exception as e:                            # never mask line 1

@@ -81,3 +81,29 @@ def use_pallas() -> bool:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:
         return False
+
+
+def enable_compile_cache(path: str = None) -> bool:
+    """Persistent XLA compilation cache (the reference's cached-tables
+    discipline, common.hpp:9-11, applied to executables): compiled
+    programs are serialized under SCTL_DATA_PATH/xla_cache and reused
+    across processes — the depth-6 KIFMM program compiles in ~100 s
+    cold, ~1 s from cache.  Opt-in (SCTL_COMPILE_CACHE=1 in the
+    environment also enables it at import); returns success."""
+    import os
+    try:
+        import jax
+        cache = path or os.path.join(config.data_path, "xla_cache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                          -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          2.0)
+        return True
+    except Exception:
+        return False
+
+
+if _env_bool("SCTL_COMPILE_CACHE", False):
+    enable_compile_cache()
