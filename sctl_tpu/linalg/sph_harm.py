@@ -207,6 +207,20 @@ class SphericalHarmonics:
         X_phi = jnp.fft.irfft(fm * (1j * mm), n=np_, axis=-1)
         return X, X_theta, X_phi
 
+    def shc2grid_transpose(self, X):
+        """Adjoint of shc2grid: grid values -> packed coefficients via
+        the TRANSPOSE (not the inverse) of the synthesis operator
+        (reference: SHC2GridTranspose, sph_harm.hpp:160 — used where
+        the adjoint, not the weighted analysis grid2shc, is required,
+        e.g. Galerkin projections).  X (.., nt, np_)."""
+        import jax
+        X = jnp.asarray(X)
+        batch = X.shape[:-2]
+        shape = batch + (sh_dim(self.p),)
+        t = jax.linear_transpose(self.shc2grid,
+                                 jnp.zeros(shape, X.dtype))
+        return t(X)[0]
+
     def shc2pole(self, shc):
         """(.., (p+1)^2) -> (.., 2): values at the north (theta=0) and
         south (theta=pi) poles (reference: SHC2Pole,

@@ -110,3 +110,20 @@ def test_legacy_gauss_identity_near_targets():
     u = quad.eval(sigma)[:, 0]
     assert np.abs(u[:3] + 1.0).max() < 2e-4, u
     assert abs(u[3]) < 2e-4, u
+
+
+def test_legacy_stokes_gauss_identity():
+    """Stokes DL of a constant (rigid translation) density = -u0/2
+    on-surface, componentwise (k0=3 kernel path; reference
+    Quadrature::test anchor)."""
+    from sctl_tpu.ops import Stokes3D_DxU
+    elems = _sphere_elems(order=6)
+    quad = LegacyQuadrature(Stokes3D_DxU, elems,
+                            order_singular=12, order_direct=8)
+    quad.setup(None)
+    u0 = np.array([0.3, -1.1, 0.7])
+    sigma = np.broadcast_to(
+        u0, (elems.n_elem, elems.basis.size, 3)).copy()
+    u = quad.eval(sigma)
+    err = np.abs(u + 0.5 * u0[None, :]).max() / np.abs(u0).max()
+    assert err < 5e-3, err

@@ -366,3 +366,21 @@ def test_write_vtk(tmp_path):
     assert "UnstructuredGrid" in txt and "value" in txt
     # plain (unwarped) grid also writes
     sh.write_vtk(str(tmp_path / "plain"))
+
+
+def test_shc2grid_transpose_adjoint():
+    """<shc2grid(s), X> == <s, shc2grid_transpose(X)> (the reference's
+    SHC2GridTranspose is the adjoint of synthesis, sph_harm.hpp:160)."""
+    p = 6
+    sh = SphericalHarmonics(p)
+    s = RNG.normal(size=sh_dim(p))
+    X = RNG.normal(size=(sh.nt, sh.np_))
+    lhs = float(np.sum(np.asarray(sh.shc2grid(s)) * X))
+    rhs = float(np.sum(s * np.asarray(sh.shc2grid_transpose(X))))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
+    # batched
+    s2 = RNG.normal(size=(2, sh_dim(p)))
+    X2 = RNG.normal(size=(2, sh.nt, sh.np_))
+    lhs = float(np.sum(np.asarray(sh.shc2grid(s2)) * X2))
+    rhs = float(np.sum(s2 * np.asarray(sh.shc2grid_transpose(X2))))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
