@@ -346,9 +346,15 @@ class KIFMM:
                  ker_l2t: Optional[KernelSpec] = None,
                  ker_s2m: Optional[KernelSpec] = None,
                  dtype=None,
-                 use_pallas_p2p: Optional[bool] = None):
+                 use_pallas_p2p: Optional[bool] = None,
+                 rcond: Optional[float] = None):
         import jax
         from ..ops.kernels import Laplace3D_FxdU, Stokes3D_FSxU
+        # pinv cutoff for the equivalent-surface operators; None picks
+        # the dtype default (KIFMMOperators.__init__) — tighten (e.g.
+        # 1e-12 with p >= 10, f64) for the high rungs of the accuracy
+        # ladder (BASELINE.md)
+        self.rcond = rcond
         # compact U-list Pallas P2P on real TPU; the XLA 27-offset
         # sweep elsewhere (CPU tests run the same math through XLA)
         if use_pallas_p2p is None:
@@ -413,7 +419,7 @@ class KIFMM:
         self.scale = self.src_tree.scale
         self._ops = KIFMMOperators(self.ker_s2t, self.ker_trans,
                                    self.ker_l2t, self.p, L, self.scale,
-                                   self.dtype)
+                                   self.dtype, rcond=self.rcond)
         # padded per-leaf arrays with QUANTILE capacity: padding every
         # box to the max count wastes (max/mean)^2 of the P2P compute
         # (Poisson tail); points beyond the 97th-percentile capacity go
