@@ -306,24 +306,58 @@ class BoundaryIntegralOp:
 
     def _build_near_matrices(self):
         """K_near(t,e) = NearInterac(t,e) - far-quadrature block(t,e)
-        (reference: boundary_integral.txx:816+)."""
+        (reference: boundary_integral.txx:816+).
+
+        Element lists exposing `near_interac_batch` get all their
+        pairs evaluated in one vectorized call; the far-quadrature
+        subtraction is batched per element either way (one kernel
+        call + one BLAS contraction for all of an element's near
+        targets instead of per-pair host evals)."""
+        from ..ops.kernels_np import block_matrix_np
         ker = self.kernel
-        self._near_mats = []
-        for (ti, e) in self.near_pairs:
+        NP_ = len(self.near_pairs)
+        self._near_mats = [None] * NP_
+        if NP_ == 0:
+            return
+        pair_t = np.array([t for (t, _) in self.near_pairs])
+        pair_e = np.array([e for (_, e) in self.near_pairs])
+
+        # exact near operators
+        by_list = {}
+        for pi, e in enumerate(pair_e):
+            by_list.setdefault(self._elem_of[e][0], []).append(pi)
+        for li, pis in by_list.items():
+            lst = self.elem_lists[li]
+            pis = np.asarray(pis)
+            if hasattr(lst, "near_interac_batch"):
+                les = np.array([self._elem_of[e][1]
+                                for e in pair_e[pis]])
+                exact = lst.near_interac_batch(
+                    ker, self.Xt_eff[pair_t[pis]], les, self.tol)
+                for j, pi in enumerate(pis):
+                    self._near_mats[pi] = exact[j].copy()
+            else:
+                for pi in pis:
+                    li_, le = self._elem_of[pair_e[pi]]
+                    self._near_mats[pi] = np.asarray(
+                        lst.near_interac(ker, self.Xt_eff[pair_t[pi]],
+                                         le, self.tol))
+
+        # far-quadrature subtraction, batched per element
+        for e in np.unique(pair_e):
+            pis = np.where(pair_e == e)[0]
             li, le = self._elem_of[e]
             lst = self.elem_lists[li]
-            xt = self.Xt_eff[ti]
-            exact = lst.near_interac(ker, xt, le, self.tol)
-            # subtract what the smooth far-field quadrature contributes
             s, t = self.far_dsp[e], self.far_dsp[e + 1]
-            kf = host_kernel_matrix(ker, xt[None], self.Xf[s:t],
-                                    self.Xnf[s:t])  # (nf*k0, k1)
-            kf = kf.reshape(t - s, ker.kdim0, ker.kdim1)
-            kf = kf * self.wf[s:t, None, None]
+            kf = block_matrix_np(ker, self.Xt_eff[pair_t[pis]],
+                                 self.Xf[s:t], self.Xnf[s:t])
+            kf = kf * self.wf[None, s:t, None, None]   # (T,nf,k0,k1)
             interp = lst.far_field_density_matrix(le)  # (n_e, nf_e)
-            far_blk = np.einsum("fab,nf->nab", kf, interp).reshape(
-                exact.shape)
-            self._near_mats.append(np.asarray(exact) - far_blk)
+            far_blk = np.einsum("tfab,nf->tnab", kf, interp,
+                                optimize=True)
+            for j, pi in enumerate(pis):
+                self._near_mats[pi] -= far_blk[j].reshape(
+                    self._near_mats[pi].shape)
 
     def _setup_device_apply(self):
         """Padded device tensors so compute_potential_jnp is one traced

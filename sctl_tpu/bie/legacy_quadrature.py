@@ -227,6 +227,110 @@ def duffy_quad(coord, order: int, adapt: float = -1.0,
     return np.concatenate(nds), np.concatenate(wts)
 
 
+_DUFFY_KMAX = 28          # padded shell cap (worst case ~6 breakpoints
+                          # + log_{order/2}(1/adapt_floor) geo steps)
+
+
+def duffy_quad_batch(coords: np.ndarray, order: int,
+                     adapts: np.ndarray
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized `duffy_quad` over P (coord, adapt) pairs at once —
+    the BIE near-setup hot loop batched (reference recipe
+    boundary_quadrature.hpp:269-383; default ratio=order/2 and
+    max_panel=1, i.e. nseg=1, matching the near_interac fast path).
+
+    All pairs share one padded shell structure: shells beyond a pair's
+    own radii ladder and degenerate panels carry ZERO weight, so the
+    caller can evaluate geometry/kernels on the fixed-shape arrays and
+    contract with the weights without per-pair branching.
+
+    Returns (nodes (P, K*4*order^2, 2), weights (P, K*4*order^2));
+    adapt values below 1e-7 are treated as 0 (shells that thin are
+    dropped by the eps filter in the scalar rule anyway).
+    """
+    coords = np.atleast_2d(np.asarray(coords, np.float64))
+    P = len(coords)
+    adapts = np.broadcast_to(np.asarray(adapts, np.float64), (P,))
+    adapts = np.where(adapts < 1e-7, 0.0, adapts)
+    q1, w1 = leg_quad_rule(order)
+    ratio = 0.5 * order
+    eps = 16 * np.finfo(np.float64).eps
+    c0, c1 = coords[:, 0], coords[:, 1]
+    vals = np.sort(np.stack(
+        [np.zeros(P), adapts, np.abs(c0), np.abs(c0 - 1.0),
+         np.abs(c1), np.abs(c1 - 1.0)], 1), axis=1)        # (P, 6)
+    start = np.maximum(0.0, vals[:, -2] - 1.0)
+
+    def _bp(idx):
+        return np.take_along_axis(vals, np.minimum(idx, 5)[:, None],
+                                  1)[:, 0]
+
+    # radii ladder: breakpoints interleaved with geometric fill
+    # (scalar rule's radii loop, run across all pairs per column)
+    r = start.copy()
+    bp_idx = np.zeros(P, np.int64)
+    for _ in range(6):
+        bp_idx += (bp_idx < 6) & (_bp(bp_idx) <= r)
+    cols = [r.copy()]
+    active = bp_idx < 6
+    while active.any():
+        if len(cols) > _DUFFY_KMAX:
+            raise RuntimeError("duffy_quad_batch shell cap exceeded")
+        nb = _bp(bp_idx)
+        geo = np.where(r > 0, ratio * r, np.inf)
+        r_next = np.where(active, np.minimum(geo, nb), r)
+        bp_idx += active & (geo >= nb)
+        for _ in range(6):
+            bp_idx += active & (bp_idx < 6) & (_bp(bp_idx) <= r_next)
+        cols.append(r_next)
+        r = r_next
+        active = bp_idx < 6
+    radii = np.stack(cols, 1)                              # (P, K+1)
+    K = radii.shape[1] - 1
+
+    yy, zz = np.meshgrid(q1, q1, indexing="ij")
+    ww = np.outer(w1, w1)
+    yy, zz, ww = yy.ravel(), zz.ravel(), ww.ravel()        # (n2,)
+    n2 = len(yy)
+    clip = lambda v: np.clip(v, 0.0, 1.0)
+
+    r0 = radii[:, :-1]                                     # (P, K)
+    r1 = radii[:, 1:]
+    nd_out = np.zeros((P, K, 4, n2, 2))
+    wt_out = np.zeros((P, K, 4, n2))
+    pi = 0
+    for d0 in range(2):
+        cd0 = coords[:, d0][:, None]                       # (P, 1)
+        cd1 = coords[:, 1 - d0][:, None]
+        for sgn in (-1.0, 1.0):
+            f0 = clip(cd0 + sgn * r0)                      # (P, K)
+            f1 = clip(cd0 + sgn * r1)
+            lo0 = clip(cd1 - r0)
+            hi0 = clip(cd1 + r0)
+            lo1 = clip(cd1 - r1)
+            hi1 = clip(cd1 + r1)
+            th = np.abs(f1 - f0)
+            w0 = hi0 - lo0
+            w1_ = hi1 - lo1
+            live = th * np.maximum(w0, w1_) >= eps         # (P, K)
+            zz_ = zz[None, None, :]
+            nd_out[:, :, pi, :, d0] = (f0[..., None] * (1 - zz_)
+                                       + f1[..., None] * zz_)
+            ys = yy[None, None, :]
+            nd_out[:, :, pi, :, 1 - d0] = (
+                (lo0[..., None] * (1 - ys) + hi0[..., None] * ys)
+                * (1 - zz_)
+                + (lo1[..., None] * (1 - ys) + hi1[..., None] * ys)
+                * zz_)
+            wt_out[:, :, pi] = (live[..., None] * ww[None, None, :]
+                                * th[..., None]
+                                * (w0[..., None] * (1 - zz_)
+                                   + w1_[..., None] * zz_))
+            pi += 1
+    return (nd_out.reshape(P, K * 4 * n2, 2),
+            wt_out.reshape(P, K * 4 * n2))
+
+
 def tensor_gauss_quad(order: int) -> Tuple[np.ndarray, np.ndarray]:
     """order^2-point tensor Gauss rule on [0,1]^2 (reference
     Quadrature::TensorProductGaussQuad, boundary_quadrature.hpp:385)."""

@@ -113,6 +113,188 @@ class ParametricPatchList(ElementListBase):
     def far_field_density_matrix(self, elem: int) -> np.ndarray:
         return self._interp                           # same every patch
 
+    def _node_X(self, elem: int) -> np.ndarray:
+        """(q^2, 3) node coords of one element, cached (charts are
+        fixed at construction)."""
+        if not hasattr(self, "_node_X_cache"):
+            self._node_X_cache = {}
+        if elem not in self._node_X_cache:
+            self._node_X_cache[elem] = self._geom(
+                self.charts[elem], self._uv_q)[0]
+        return self._node_X_cache[elem]
+
+    def _preimage_batch(self, Xt: np.ndarray, elems: np.ndarray):
+        """Batched Gauss-Newton closest-point preimages, grouped by
+        element (the near_interac fast-path iteration run for all
+        targets of an element at once).
+
+        -> (u0 (P,2) parameter preimages (NOT clipped, may lie outside
+        the square), adapt (P,) parameter-space distance estimates,
+        dphys (P,) physical residual distances, ok (P,) GN health)."""
+        P = len(elems)
+        u0 = np.zeros((P, 2))
+        adapt = np.zeros(P)
+        dphys = np.zeros(P)
+        ok = np.ones(P, bool)
+        h = _FD_H
+        for e in np.unique(elems):
+            idx = np.where(elems == e)[0]
+            ch = self.charts[e]
+            X0 = self._node_X(e)
+            xt = Xt[idx]
+            u = self._uv_q[np.argmin(
+                ((X0[None] - xt[:, None]) ** 2).sum(-1), axis=1)].copy()
+            ad = np.zeros(len(idx))
+            good = np.ones(len(idx), bool)
+            r = xt                       # overwritten in the loop
+            for _ in range(3):
+                u = np.clip(u, 0.0, 1.0)
+                T = len(idx)
+                pts = np.concatenate([u, u + [h, 0.0], u - [h, 0.0],
+                                      u + [0.0, h], u - [0.0, h]])
+                Xs = np.asarray(ch(pts)).reshape(5, T, 3)
+                tu = (Xs[1] - Xs[2]) / (2 * h)
+                tv = (Xs[3] - Xs[4]) / (2 * h)
+                r = xt - Xs[0]
+                a = (tu * tu).sum(1)
+                b = (tu * tv).sum(1)
+                c = (tv * tv).sum(1)
+                g0 = (tu * r).sum(1)
+                g1 = (tv * r).sum(1)
+                det = a * c - b * b
+                bad = ~(det > 1e-300)
+                good &= ~bad
+                det = np.where(bad, 1.0, det)
+                du = np.stack([(c * g0 - b * g1) / det,
+                               (a * g1 - b * g0) / det], 1)
+                u = u + np.where(bad[:, None], 0.0, du)
+                ad = np.sqrt((r * r).sum(1)
+                             / np.maximum(np.maximum(a, c), 1e-300))
+            u0[idx] = u
+            adapt[idx] = ad
+            dphys[idx] = np.sqrt((r * r).sum(1))
+            ok[idx] = good
+        return u0, adapt, dphys, ok
+
+    _LADDER = (2, 3, 4, 6)     # upsample multipliers over qf
+
+    def near_interac_batch(self, kernel: KernelSpec, Xt: np.ndarray,
+                           elems: np.ndarray, tol: float) -> np.ndarray:
+        """(P, q^2*k0, k1) near-singular operators for P (target,
+        element) pairs at once — the vectorized near_interac used by
+        the BIE near setup (the boundary_integral.txx:816+ hot loop;
+        per-pair calls took minutes at 1e5-unknown scale).
+
+        Pair classes, each evaluated in element-grouped waves (one
+        geometry + one kernel call per group, BLAS-shaped basis
+        contractions):
+          - GL-resolvable: shared upsampled tensor rules from the
+            ladder {2,3,4,6}*qf, picked per pair from the same GL
+            error model as dist_far ((2 h_k/d)^{q_k} <= tol/10);
+          - (near-)singular: batched geometric-shell Duffy
+            (duffy_quad_batch) at the Gauss-Newton preimage, with the
+            order-12/16 disagreement check of the scalar fast path;
+          - misses (GN failure, Duffy disagreement, tol < 1e-6 for
+            the singular class): per-pair near_interac fallback.
+        """
+        from .legacy_quadrature import duffy_quad_batch
+        from ..ops.kernels_np import block_matrix_np, offset_blocks_np
+        Xt = np.atleast_2d(np.asarray(Xt, np.float64))
+        elems = np.asarray(elems, np.int64)
+        P = len(elems)
+        k0, k1 = kernel.kdim0, kernel.kdim1
+        nq = self.q ** 2
+        out = np.zeros((P, nq * k0, k1))
+        if P == 0:
+            return out
+        u0, adapt, dphys, ok = self._preimage_batch(Xt, elems)
+        diam = np.array([np.linalg.norm(self._node_X(e).max(0)
+                                        - self._node_X(e).min(0))
+                         for e in range(self.size())])
+        orders = [m * self.qf for m in self._LADDER]
+        band = np.full(P, -1, np.int64)
+        for k in range(len(orders) - 1, -1, -1):
+            dk = (2.0 * (diam[elems] / orders[k])
+                  * (0.1 * tol) ** (-1.0 / orders[k]))
+            band = np.where(dphys >= dk, k, band)
+        fallback = ~ok
+        band = np.where(fallback, -2, band)
+
+        # --- ladder classes: shared tensor rules per (element, band) --
+        rules = {}
+        for qk in orders:
+            x1, w1 = leg_quad_rule(qk)
+            uv = np.stack(np.meshgrid(x1, x1, indexing="ij"),
+                          -1).reshape(-1, 2)
+            ww = np.outer(w1, w1).reshape(-1)
+            rules[qk] = (uv, ww, self._basis(uv))   # basis (S, nq)
+        for e in np.unique(elems):
+            for k, qk in enumerate(orders):
+                idx = np.where((elems == e) & (band == k))[0]
+                if len(idx) == 0:
+                    continue
+                uv, ww, basis = rules[qk]
+                X, n, J = self._geom(self.charts[e], uv)
+                km = block_matrix_np(kernel, Xt[idx], X, n)
+                wb = basis * (ww * J)[:, None]       # (S, nq)
+                res = np.einsum("tsab,sn->tnab", km, wb,
+                                optimize=True)
+                out[idx] = res.reshape(len(idx), nq * k0, k1)
+
+        # --- singular class: batched Duffy (tol >= 1e-6, like the
+        # scalar fast path; tighter tols go per-pair adaptive) --------
+        didx = np.where(band == -1)[0]
+
+        def _duffy_eval(sel, order):
+            nds, wts = duffy_quad_batch(u0[sel], order, adapt[sel])
+            npts = nds.shape[1]
+            acc = np.zeros((len(sel), nq, k0, k1))
+            for e in np.unique(elems[sel]):
+                ei = np.where(elems[sel] == e)[0]
+                pts = nds[ei].reshape(-1, 2)
+                X, n, J = self._geom(self.charts[e], pts)
+                Te = len(ei)
+                d = (Xt[sel[ei]][:, None, :]
+                     - X.reshape(Te, npts, 3))
+                blk = offset_blocks_np(
+                    kernel, d, ns=n.reshape(Te, npts, 3))
+                basis = self._basis(pts).reshape(Te, npts, nq)
+                wj = wts[ei] * J.reshape(Te, npts)
+                acc[ei] = np.einsum("tpn,tpab->tnab",
+                                    basis * wj[..., None], blk,
+                                    optimize=True)
+            return acc
+
+        # Duffy is the TRUSTED singular rule: validated against the
+        # exact Gauss identity (sum of DxU row over the closed surface
+        # = -1/2 on-surface / -1 interior) to 6.5e-8 on-surface and
+        # 2.7e-7 at 0.05h off-surface on a coarse curved torus — the
+        # adaptive-subdivision rule is the one that errs at singular
+        # pairs (its terminal-cell truncation), so it is NOT used as
+        # a singular fallback.  Orders: 16 down to tol 1e-7, 24 below.
+        order_hi, order_lo = (16, 12) if tol >= 1e-7 else (24, 18)
+        for c0 in range(0, len(didx), 512):
+            sel = didx[c0:c0 + 512]
+            hi = _duffy_eval(sel, order_hi)
+            out[sel] = hi.reshape(len(sel), nq * k0, k1)
+            # sampled two-order self-convergence check: |hi - lo| is
+            # ~err(lo) which overestimates err(hi) by the measured
+            # ~x50 per +4 orders, so the miss threshold is 30*tol
+            smp = np.arange(0, len(sel), 16)
+            lo = _duffy_eval(sel[smp], order_lo)
+            scale = np.maximum(
+                np.abs(hi[smp]).reshape(len(smp), -1).max(1), 1e-300)
+            miss = (np.abs(hi[smp] - lo).reshape(len(smp), -1).max(1)
+                    > 30 * tol * scale)
+            if miss.any():
+                fallback[sel] = True
+
+        # --- per-pair fallback ---------------------------------------
+        for i in np.where(fallback)[0]:
+            out[i] = self.near_interac(kernel, Xt[i], int(elems[i]),
+                                       tol)
+        return out
+
     def near_interac(self, kernel: KernelSpec, xt: np.ndarray,
                      elem: int, tol: float) -> np.ndarray:
         """(n_nodes*k0, k1) near-singular operator for one (target,
@@ -124,12 +306,14 @@ class ParametricPatchList(ElementListBase):
         recipe, boundary_quadrature.hpp:981-1258) — one fixed
         quadrature instead of an adaptive subdivision loop, ~20-100x
         fewer host kernel evaluations.  Two rule orders provide an
-        error estimate; on a miss the original adaptive subdivision
-        runs as fallback."""
-        if tol >= 1e-6:        # single fixed rule reaches ~1e-6 on
-            fast = self._near_interac_duffy(kernel, xt, elem, tol)
-            if fast is not None:   # curved charts; tighter tols go
-                return fast        # straight to the adaptive rule
+        error estimate; on a miss the adaptive subdivision runs as
+        fallback.  Duffy is the TRUSTED rule for (near-)singular
+        targets: the Gauss-identity arbitration (see
+        near_interac_batch) showed the adaptive rule is the one that
+        errs at singular pairs."""
+        fast = self._near_interac_duffy(kernel, xt, elem, tol)
+        if fast is not None:
+            return fast
         return self._near_interac_adaptive(kernel, xt, elem, tol)
 
     def _near_interac_duffy(self, kernel: KernelSpec, xt: np.ndarray,
@@ -169,10 +353,13 @@ class ParametricPatchList(ElementListBase):
             basis = self._basis(nds)
             return np.einsum("p,pn,pab->nab", wts * Jq, basis, km)
 
-        lo = rule(12)
-        hi = rule(16)
+        order_hi, order_lo = (16, 12) if tol >= 1e-7 else (24, 18)
+        lo = rule(order_lo)
+        hi = rule(order_hi)
         scale = max(np.abs(hi).max(), 1e-300)
-        if np.abs(hi - lo).max() > 10 * tol * scale:
+        # |hi-lo| ~ err(lo) ~ 50 x err(hi) (measured x7 per +2
+        # orders): miss means err(hi) is actually at tol level
+        if np.abs(hi - lo).max() > 30 * tol * scale:
             return None                             # fallback
         return hi.reshape(nq * k0, k1)
 
@@ -216,16 +403,23 @@ class ParametricPatchList(ElementListBase):
         out = np.zeros((nq, k0, k1))
         los = np.zeros((1, 2))
         sizes = np.ones(1)
-        max_cells = 3000
+        max_cells = 20000
         cells = 0
         fmax = 0.0
-        while len(los) and cells < max_cells:
+        while len(los):
             i8 = wave_integrals(los, sizes, uv8, ww8)
             i16 = wave_integrals(los, sizes, uv16, ww16)
             err = np.abs(i8 - i16).reshape(len(los), -1).max(1)
             fmax = max(fmax, np.abs(i16).max())
             cells += len(los)
             done = (err < tol * max(fmax, 1e-300)) | (sizes < 1e-7)
+            if cells >= max_cells:
+                # cell budget exhausted: take the fine estimate of
+                # EVERY pending cell rather than silently dropping it
+                # (a silent drop cost ~1e-5 absolute at singular
+                # targets — found by Gauss-identity arbitration)
+                out += i16.sum(0)
+                break
             out += i16[done].sum(0)
             # refine the rest: 4 children each
             lo_r, sz_r = los[~done], sizes[~done]

@@ -52,13 +52,22 @@ from ..tree.tree import PtTree, _normalize
 from .kifmm import KIFMMOperators, RAD_IN, RAD_OUT
 
 
-def _pad_ragged(rows: List[np.ndarray], fill=-1, cap=None):
-    """List of index arrays -> (n, cap) padded matrix + cap."""
-    cap = cap or max((len(r) for r in rows), default=1)
-    cap = max(cap, 1)
-    out = np.full((len(rows), cap), fill, dtype=np.int64)
-    for i, r in enumerate(rows):
-        out[i, :len(r)] = r[:cap]
+def _pad_rows(row_ids: np.ndarray, vals: np.ndarray, n_rows: int,
+              fill=-1):
+    """Group vals by row id into an (n_rows, cap) padded matrix from
+    flat pair lists (no per-row Python loop; the reference's cnt/dsp
+    ragged discipline, tree.hpp:182-186)."""
+    if len(vals) == 0:
+        return np.full((n_rows, 1), fill, dtype=np.int64), 1
+    order = np.argsort(row_ids, kind="stable")
+    r = row_ids[order]
+    v = vals[order]
+    dsp = np.searchsorted(r, np.arange(n_rows + 1))
+    cnt = np.diff(dsp)
+    cap = max(1, int(cnt.max()))
+    out = np.full((n_rows, cap), fill, dtype=np.int64)
+    pos = np.arange(len(v)) - np.repeat(dsp[:-1], cnt)
+    out[r, pos] = v
     return out, cap
 
 
@@ -71,18 +80,15 @@ class _NodeLevels:
         D = mt.max_depth(dim)
         self.dim = dim
         self.max_lvl = int(leaf_lvl.max()) if len(leaf_lvl) else 0
-        keys_by_lvl: Dict[int, set] = {l: set()
-                                       for l in range(self.max_lvl + 1)}
-        for k, l in zip(leaf_keys, leaf_lvl):
-            keys_by_lvl[int(l)].add(int(k))
-        # ancestors
+        # leaves per level, then ancestors bottom-up (vectorized: one
+        # shift + unique per level instead of per-key set inserts)
+        keys = [np.sort(leaf_keys[leaf_lvl == l]).astype(np.uint64)
+                for l in range(self.max_lvl + 1)]
         for l in range(self.max_lvl, 0, -1):
             shift = np.uint64(dim * (D - (l - 1)))
-            for k in keys_by_lvl[l]:
-                keys_by_lvl[l - 1].add(
-                    int((np.uint64(k) >> shift) << shift))
-        self.keys = [np.array(sorted(keys_by_lvl[l]), dtype=np.uint64)
-                     for l in range(self.max_lvl + 1)]
+            par = (keys[l] >> shift) << shift
+            keys[l - 1] = np.unique(np.concatenate([keys[l - 1], par]))
+        self.keys = keys
         self.n = [len(k) for k in self.keys]
         # child -> (parent index, octant)
         self.parent_idx, self.octant = [None], [None]
@@ -120,29 +126,43 @@ def _build_lists(nodes: _NodeLevels, leaf_keys, leaf_lvl, dim=3):
     """
     D = mt.max_depth(dim)
     L = nodes.max_lvl
-    leaf_index = {}                 # key -> (lvl, leaf_row)
-    for i, (k, l) in enumerate(zip(leaf_keys, leaf_lvl)):
-        leaf_index[(int(l), int(k))] = i
+    n_leaf = len(leaf_keys)
+    leaf_lvl = np.asarray(leaf_lvl, np.int64)
+    leaf_keys = np.asarray(leaf_keys, np.uint64)
+
     is_leaf = [np.zeros(nodes.n[l], dtype=bool) for l in range(L + 1)]
     leaf_row_of_node = [np.full(nodes.n[l], -1, dtype=np.int64)
                         for l in range(L + 1)]
-    for i, (k, l) in enumerate(zip(leaf_keys, leaf_lvl)):
-        j = nodes.index_of(int(l), np.array([k], dtype=np.uint64))[0]
-        is_leaf[int(l)][j] = True
-        leaf_row_of_node[int(l)][j] = i
+    for l in range(L + 1):
+        rows = np.where(leaf_lvl == l)[0]
+        if len(rows) == 0:
+            continue
+        idx = nodes.index_of(l, leaf_keys[rows])
+        is_leaf[l][idx] = True
+        leaf_row_of_node[l][idx] = rows
 
     ends = leaf_keys + (np.uint64(1) << (np.uint64(dim) * (
         np.uint64(D) - leaf_lvl.astype(np.uint64))))
 
-    def adjacent(k1, l1, k2, l2):
-        """Boxes (key, level) adjacent (share boundary or overlap)?"""
-        c1 = mt.box_coords(np.array([k1], np.uint64), D, dim)[0]
-        s1 = 1 << (D - l1)
-        c2 = mt.box_coords(np.array([k2], np.uint64), D, dim)[0]
-        s2 = 1 << (D - l2)
-        lo1, hi1 = c1, c1 + s1
-        lo2, hi2 = c2, c2 + s2
-        return bool(np.all((lo1 <= hi2) & (lo2 <= hi1)))
+    # lattice intervals at max depth for vectorized adjacency tests
+    # (boxes adjacent iff closed intervals overlap in every dim)
+    leaf_lo = mt.morton_decode(leaf_keys, dim).astype(np.int64)
+    leaf_sz = (np.int64(1) << (D - leaf_lvl)).astype(np.int64)
+
+    def _adj_leaf_leaf(i_arr, j_arr):
+        lo1 = leaf_lo[i_arr]
+        hi1 = lo1 + leaf_sz[i_arr][:, None]
+        lo2 = leaf_lo[j_arr]
+        hi2 = lo2 + leaf_sz[j_arr][:, None]
+        return np.all((lo1 <= hi2) & (lo2 <= hi1), axis=1)
+
+    def _adj_leaf_box(i_arr, box_keys, box_lvl):
+        lo1 = leaf_lo[i_arr]
+        hi1 = lo1 + leaf_sz[i_arr][:, None]
+        lo2 = mt.morton_decode(np.asarray(box_keys, np.uint64),
+                               dim).astype(np.int64)
+        hi2 = lo2 + np.int64(1 << (D - box_lvl))
+        return np.all((lo1 <= hi2) & (lo2 <= hi1), axis=1)
 
     # V list per level: for each node, neighbors of parent -> children
     # -> same-level nodes not adjacent
@@ -174,63 +194,79 @@ def _build_lists(nodes: _NodeLevels, leaf_keys, leaf_lvl, dim=3):
             ti = np.where(keep)[0]
             V[l].append((ti, si[keep], oid))
 
-    # U/W/X by walking each leaf's neighborhood in the leaf array
-    n_leaf = len(leaf_keys)
-    U_rows: List[List[int]] = [[] for _ in range(n_leaf)]
-    W_rows: List[List[Tuple[int, int]]] = [[] for _ in range(n_leaf)]
-    X_pairs: List[Tuple[int, int, int]] = []   # (lvl, node_idx, src_leaf)
-    skeys = leaf_keys
-    for i in range(n_leaf):
-        li = int(leaf_lvl[i])
-        ki = leaf_keys[i]
-        # colleagues: all leaves intersecting the 3^dim neighborhood
-        nbk, valid = mt.morton_neighbors(
-            np.array([ki], np.uint64), li, dim)
-        cand_keys = np.concatenate([[ki], nbk[0][valid[0]]])
-        for ck in cand_keys:
-            # leaves overlapping box (ck, li): via sorted search
-            j0 = np.searchsorted(skeys, np.uint64(ck), side="left")
-            # coarser leaf containing ck
-            j = j0 - 1
-            if j >= 0 and np.uint64(ck) < ends[j] \
-                    and leaf_lvl[j] <= li:
-                if adjacent(ki, li, leaf_keys[j], int(leaf_lvl[j])):
-                    U_rows[i].append(int(j))
-            # leaves inside [ck, ck_end)
-            ck_end = np.uint64(ck) + (np.uint64(1) << np.uint64(
-                dim * (D - li)))
-            j1 = np.searchsorted(skeys, ck_end, side="left")
-            for j in range(j0, j1):
-                lj = int(leaf_lvl[j])
-                if lj <= li + 1:
-                    if adjacent(ki, li, leaf_keys[j], lj):
-                        U_rows[i].append(int(j))
-                else:
-                    pass  # deeper than +1 impossible under 2:1 w.r.t.
-                          # adjacency; handled by W below
-                # W: finer node (leaf or internal) under a colleague,
-                # parent adjacent, itself NOT adjacent
-            # W candidates: children of adjacent same/finer structure:
-        # W list: nodes at level li+1 whose parent is a colleague of
-        # i, not adjacent to i
-        if li + 1 <= nodes.max_lvl and nodes.n[li + 1]:
-            # children of colleagues
-            for ck in cand_keys:
-                ch = mt.morton_children(
-                    np.array([ck], np.uint64), li, dim)[0]
-                si = nodes.index_of(li + 1, ch)
-                for c_k, s_i in zip(ch, si):
-                    if s_i < 0:
-                        continue
-                    if not adjacent(ki, li, int(c_k), li + 1):
-                        W_rows[i].append((li + 1, int(s_i)))
-                        # X is the dual: (node c_k at li+1) receives
-                        # from leaf i's points
-                        X_pairs.append((li + 1, int(s_i), i))
+    # U/W/X: all leaves of a level at once — sorted-range lookups on
+    # the leaf array + lattice-interval adjacency; no per-leaf Python
+    # loop (the round-2 per-leaf version took tens of minutes at 1e6
+    # surface points; this is seconds)
+    U_t, U_s = [], []                        # (target leaf, source leaf)
+    W_lvl, W_leaf, W_node = [], [], []       # (src lvl, trg leaf, node)
+    X_lvl, X_node, X_leaf = [], [], []       # (trg lvl, node, src leaf)
+    for l in np.unique(leaf_lvl):
+        l = int(l)
+        sel = np.where(leaf_lvl == l)[0]
+        k_l = leaf_keys[sel]
+        m = len(sel)
+        nbk, valid = mt.morton_neighbors(k_l, l, dim)       # (m, 26)
+        cand = np.concatenate([k_l[:, None], nbk], axis=1)  # (m, 27)
+        cval = np.concatenate([np.ones((m, 1), bool), valid], axis=1)
+        ck = cand.reshape(-1)
+        cv = cval.reshape(-1)
+        ci = np.repeat(sel, cand.shape[1])      # owning target leaf row
 
-    # dedupe U rows
-    U_rows = [sorted(set(r)) for r in U_rows]
-    return V, U_rows, W_rows, X_pairs, is_leaf, leaf_row_of_node
+        # U (a): coarser leaf containing the candidate box
+        j0 = np.searchsorted(leaf_keys, ck, side="left")
+        jm = np.clip(j0 - 1, 0, n_leaf - 1)
+        okm = cv & (j0 > 0) & (ck < ends[jm]) & (leaf_lvl[jm] <= l)
+        tm, sm = ci[okm], jm[okm]
+        keepm = _adj_leaf_leaf(tm, sm)
+        U_t.append(tm[keepm])
+        U_s.append(sm[keepm])
+
+        # U (b): leaves inside [ck, ck_end) with level <= l+1 (deeper
+        # leaves in an adjacent box cannot touch the target under 2:1;
+        # their far contribution arrives via W)
+        ck_end = ck + (np.uint64(1) << np.uint64(dim * (D - l)))
+        j1 = np.searchsorted(leaf_keys, ck_end, side="left")
+        cnt = np.where(cv, j1 - j0, 0).astype(np.int64)
+        ti = np.repeat(ci, cnt)
+        pos = (np.arange(int(cnt.sum()))
+               - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        jj = np.repeat(j0, cnt) + pos
+        keep = leaf_lvl[jj] <= l + 1
+        ti, jj = ti[keep], jj[keep]
+        keep2 = _adj_leaf_leaf(ti, jj)
+        U_t.append(ti[keep2])
+        U_s.append(jj[keep2])
+
+        # W/X: children (level l+1) of candidate boxes present in the
+        # node set and NOT adjacent to the leaf -> multipole-to-target;
+        # X is the exact dual (node receives from the leaf's points)
+        if l + 1 <= L and nodes.n[l + 1]:
+            ch = mt.morton_children(ck, l, dim)             # (m*27, 8)
+            chf = ch.reshape(-1)
+            si = nodes.index_of(l + 1, chf)
+            ok = np.repeat(cv, 1 << dim) & (si >= 0)
+            iw, siw, chw = np.repeat(ci, 1 << dim)[ok], si[ok], chf[ok]
+            adj = _adj_leaf_box(iw, chw, l + 1)
+            iw, siw = iw[~adj], siw[~adj]
+            W_lvl.append(np.full(len(iw), l + 1, np.int64))
+            W_leaf.append(iw)
+            W_node.append(siw)
+            X_lvl.append(np.full(len(iw), l + 1, np.int64))
+            X_node.append(siw)
+            X_leaf.append(iw)
+
+    UT = np.concatenate(U_t) if U_t else np.zeros(0, np.int64)
+    US = np.concatenate(U_s) if U_s else np.zeros(0, np.int64)
+    U_pairs = np.unique(np.stack([UT, US], 1), axis=0) \
+        if len(UT) else np.zeros((0, 2), np.int64)
+    W = (np.concatenate(W_lvl) if W_lvl else np.zeros(0, np.int64),
+         np.concatenate(W_leaf) if W_leaf else np.zeros(0, np.int64),
+         np.concatenate(W_node) if W_node else np.zeros(0, np.int64))
+    X = (np.concatenate(X_lvl) if X_lvl else np.zeros(0, np.int64),
+         np.concatenate(X_node) if X_node else np.zeros(0, np.int64),
+         np.concatenate(X_leaf) if X_leaf else np.zeros(0, np.int64))
+    return V, U_pairs, W, X, is_leaf, leaf_row_of_node
 
 
 class AdaptiveFMM:
@@ -287,7 +323,8 @@ class AdaptiveFMM:
 
         nodes = _NodeLevels(tree.leaf_keys, tree.leaf_levels, dim)
         self.nodes = nodes
-        (V, U_rows, W_rows, X_pairs, is_leaf,
+        (V, U_pairs, (w_lvl, w_leaf, w_node),
+         (x_lvl, x_node, x_leaf), is_leaf,
          leaf_row_of_node) = _build_lists(
             nodes, tree.leaf_keys, tree.leaf_levels, dim)
 
@@ -406,36 +443,29 @@ class AdaptiveFMM:
         data["vlist"] = tuple(vli)
 
         # U list: per target leaf, padded source-leaf ids
-        U_pad, self.u_cap = _pad_ragged(
-            [np.asarray(r) for r in U_rows])
+        U_pad, self.u_cap = _pad_rows(U_pairs[:, 0], U_pairs[:, 1],
+                                      n_leaf)
         data["ulist"] = jnp.asarray(U_pad, jnp.int32)
 
-        # W list: per target leaf, padded (finer) node ids per level —
-        # group W entries by source level
+        # W list: per target leaf, padded (finer) node ids per level
         wl = []
         for l in range(1, L + 1):
-            rows = [np.asarray([s for (lv, s) in W_rows[i]
-                                if lv == l], np.int64)
-                    for i in range(n_leaf)]
-            if max((len(r) for r in rows), default=0) == 0:
+            msk = w_lvl == l
+            if not msk.any():
                 wl.append(None)
                 continue
-            pad, _ = _pad_ragged(rows)
+            pad, _ = _pad_rows(w_leaf[msk], w_node[msk], n_leaf)
             wl.append(jnp.asarray(pad, jnp.int32))
         self._wlist = wl
 
         # X list: per (level, node), padded source-leaf ids
         xl = []
         for l in range(1, L + 1):
-            rows = [np.asarray([], np.int64)
-                    for _ in range(nodes.n[l])]
-            for (lv, nidx, leaf_i) in X_pairs:
-                if lv == l:
-                    rows[nidx] = np.append(rows[nidx], leaf_i)
-            if max((len(r) for r in rows), default=0) == 0:
+            msk = x_lvl == l
+            if not msk.any():
                 xl.append(None)
                 continue
-            pad, _ = _pad_ragged(rows)
+            pad, _ = _pad_rows(x_node[msk], x_leaf[msk], nodes.n[l])
             xl.append(jnp.asarray(pad, jnp.int32))
         self._xlist = xl
 
@@ -452,14 +482,13 @@ class AdaptiveFMM:
         data["oct_groups"] = tuple(oct_groups)
 
         # V pairs as (316, Pcap) padded per-offset tables per level
+        # (_pad_rows uses one stable sort by oid: ti and si stay
+        # aligned because identical keys keep their relative order)
         vtab = []
         for li, l in enumerate(range(2, L + 1)):
             ti, si, oid = (np.asarray(a) for a in data["vlist"][li])
-            rows_t = [ti[oid == o] for o in range(316)]
-            rows_s = [si[oid == o] for o in range(316)]
-            cap = max((len(r) for r in rows_t), default=1)
-            tpad, _ = _pad_ragged(rows_t, cap=cap)
-            spad, _ = _pad_ragged(rows_s, cap=cap)
+            tpad, _ = _pad_rows(oid, ti, 316)
+            spad, _ = _pad_rows(oid, si, 316)
             vtab.append((jnp.asarray(tpad, jnp.int32),
                          jnp.asarray(spad, jnp.int32)))
         data["vtab"] = tuple(vtab)

@@ -93,20 +93,81 @@ def _vlist_offsets():
     return d, valid
 
 
-def _op_cache_path(ker_trans, p, depth, scale, rcond):
-    """Disk-cache path for precomputed operator tables (the reference's
-    SCTL_DATA_PATH cached-tables discipline, common.hpp:9-11,
-    sph_harm MatrixStore pattern)."""
+def _op_cache_path(ker_trans, p, rcond):
+    """Disk-cache path for precomputed UNIT-BOX operator tables (the
+    reference's SCTL_DATA_PATH cached-tables discipline, common.hpp:
+    9-11, sph_harm MatrixStore pattern).  Since v4 the tables are
+    scale- and depth-independent: every level's operators follow from
+    the unit tables by homogeneity scaling (KernelSpec.src_scal /
+    trg_scal — the reference's BuildSrcTrgScal, fmm-wrapper.txx:607),
+    so one cache entry serves every tree configuration."""
     import os
     from ..config import config
-    key = (f"kifmm_{ker_trans.name}_p{p}_d{depth}"
-           f"_s{scale:.12g}_r{rcond:.3g}_v3.npz")
+    key = f"kifmm_{ker_trans.name}_p{p}_r{rcond:.3g}_unit_v4.npz"
     return os.path.join(config.data_path, key)
 
 
+def _outer_scale(mat: np.ndarray, lam: float, row_exp, col_exp
+                 ) -> np.ndarray:
+    """mat ⊙ outer(lam^row_exp, lam^col_exp) with the per-component
+    exponent tuples tiled over surface points (vector layout is
+    point-major: index = point * k + component)."""
+    row_exp = np.asarray(row_exp, np.float64)
+    col_exp = np.asarray(col_exp, np.float64)
+    rv = np.power(lam, np.tile(row_exp, mat.shape[0] // len(row_exp)))
+    cv = np.power(lam, np.tile(col_exp, mat.shape[1] // len(col_exp)))
+    return mat * rv[:, None] * cv[None, :]
+
+
+def _rand_colbasis(A: np.ndarray, tol: float = 1e-10,
+                   exact_below: int = 2048) -> np.ndarray:
+    """Orthonormal column basis of A to relative tolerance `tol` —
+    randomized range finder with power iteration (Halko-Martinsson-
+    Tropp), exact SVD for small matrices.  Used by the M2L family
+    compression where the exact SVD of the (ns, 316*ns) stack
+    dominates cold-cache setup (~10x faster at p >= 10)."""
+    m, n = A.shape
+    if m <= exact_below:
+        U, s, _ = np.linalg.svd(A, full_matrices=False)
+        r = int(np.searchsorted(-(s / max(s[0], 1e-300)), -tol))
+        return U[:, :max(r, 1)]
+    rng = np.random.default_rng(0)
+    k = min(m, 128)
+    while True:
+        G = rng.standard_normal((n, k + 16))
+        Y = A @ G
+        for _ in range(2):                    # power iterations
+            Y = A @ (A.T @ Y)
+        Q, _ = np.linalg.qr(Y)
+        B = Q.T @ A
+        U, s, _ = np.linalg.svd(B, full_matrices=False)
+        r = int(np.searchsorted(-(s / max(s[0], 1e-300)), -tol))
+        if r < k or k >= m:
+            return Q @ U[:, :max(r, 1)]
+        k = min(m, 2 * k)
+
+
 class KIFMMOperators:
-    """Per-(kernel family, p, depth, scale) precomputed operators,
-    cached on disk under SCTL_DATA_PATH."""
+    """Per-(kernel family, p, rcond) precomputed operators, cached on
+    disk under SCTL_DATA_PATH.
+
+    Only UNIT-BOX tables are ever computed or cached: for homogeneous
+    kernels every level's translation operator is the unit one with
+    per-component outer diagonal scaling (K(a*r)[i,j] =
+    a^-(s_i+t_j) K(r)[i,j]; the reference's BuildSrcTrgScal,
+    fmm-wrapper.txx:607-660), so the cold-setup cost and the cache
+    are independent of tree depth and problem scale:
+
+      uc2e(lam)  = diag(lam^s) uc2e_unit diag(lam^t)
+      m2m/l2l(l) = diag(lam_p^s)  *_unit  diag(lam_p^-s)   (lam_p =
+                   parent side; elementwise outer rescale)
+      m2l(lam)   = diag(lam^s) m2l_unit diag(lam^-s), and its
+                   (U, A_d, V) compression scales as U -> D U,
+                   V -> D^-1 V with A_d untouched.
+
+    For single-exponent kernels (Laplace, pure Stokes) the m2m/l2l/
+    m2l scalings cancel entirely — every level shares the SAME numpy
+    (and device) arrays."""
 
     def __init__(self, ker_s2t: KernelSpec, ker_trans: KernelSpec,
                  ker_l2t: KernelSpec, p: int, depth: int, scale: float,
@@ -122,108 +183,137 @@ class KIFMMOperators:
         self.p = p
         self.offsets, self.parity_valid = _vlist_offsets()
 
-        cache_path = _op_cache_path(ker_trans, p, depth, scale, rcond)
-        if self._load_cache(cache_path, depth):
-            self._to_device(dtype, ker_s2t, ker_trans, ker_l2t)
-            return
+        cache_path = _op_cache_path(ker_trans, p, rcond)
+        if not self._load_cache(cache_path):
+            self._build_unit(ker_trans, surf, rcond)
+            self._compress_m2l_unit()
+            self._save_cache(cache_path)
+        self._derive_levels(ker_trans, depth, scale, surf)
+        self._to_device(dtype, ker_s2t, ker_trans, ker_l2t)
 
+    def _build_unit(self, ker_trans, surf, rcond):
+        """Unit-box tables: parent side 1 (children at 1/2), M2L at
+        side 1."""
         # child corners in MORTON child-index order: with keys built as
         # spread(x) | spread(y)<<1 | spread(z)<<2, child index
         # c = x + 2y + 4z (morton.py morton_encode)
         child_pos = np.array([[c & 1, (c >> 1) & 1, (c >> 2) & 1]
                               for c in range(8)])
+        s_exp = np.asarray(ker_trans.src_scal, np.float64)
+        t_exp = np.asarray(ker_trans.trg_scal, np.float64)
+        s_in = surf * (RAD_IN / 2)                 # equiv-up / check-dn
+        s_out = surf * (RAD_OUT / 2)               # check-up / equiv-dn
+        self.uc2e_unit = _pinv(_kmat(ker_trans, s_out, s_in), rcond)
+        self.dc2e_unit = _pinv(_kmat(ker_trans, s_in, s_out), rcond)
+        # dc2e at the child side 1/2 (for l2l_unit)
+        dc2e_half = _outer_scale(self.dc2e_unit, 0.5, s_exp, t_exp)
+        cc = (child_pos - 0.5) * 0.5               # child ctr offsets
+        m2m_l, l2l_l = [], []
+        for c in range(8):
+            # child up-equiv -> parent up-check -> parent up-equiv
+            k = _kmat(ker_trans, s_out, surf * (RAD_IN / 4) + cc[c])
+            m2m_l.append(self.uc2e_unit @ k)
+            # parent dn-equiv -> child dn-check -> child dn-equiv
+            k2 = _kmat(ker_trans, surf * (RAD_IN / 4) + cc[c], s_out)
+            l2l_l.append(dc2e_half @ k2)
+        self.m2m_unit = np.stack(m2m_l)            # (8, ns, ns)
+        self.l2l_unit = np.stack(l2l_l)
+        mats = []
+        for d in self.offsets:
+            # target box at origin; source box center at +d*side
+            # (the shifted grid q[x+d] puts that source at slot x):
+            # src up-equiv surface -> trg dn-check surface
+            k = _kmat(ker_trans, s_in, s_in + d * 1.0)
+            mats.append(self.dc2e_unit @ k)
+        self.m2l_unit = np.stack(mats)             # (316, ns, ns)
 
-        self.uc2e, self.dc2e = [], []
-        self.m2m, self.l2l, self.m2l = [], [], []
-        self.surf_in, self.surf_out = [], []
-        for lvl in range(depth + 1):
-            side = scale / (1 << lvl)
-            r_in = RAD_IN * side / 2
-            r_out = RAD_OUT * side / 2
-            s_in = surf * r_in                     # equiv-up / check-dn
-            s_out = surf * r_out                   # check-up / equiv-dn
-            self.surf_in.append(s_in)
-            self.surf_out.append(s_out)
-            # upward: equiv surface s_in, check surface s_out
-            e2c_up = _kmat(ker_trans, s_out, s_in)
-            self.uc2e.append(_pinv(e2c_up, rcond))
-            # downward: equiv surface s_out, check surface s_in
-            e2c_dn = _kmat(ker_trans, s_in, s_out)
-            self.dc2e.append(_pinv(e2c_dn, rcond))
+    def _compress_m2l_unit(self):
+        """Joint two-sided factorization M_d = U A_d V^T of the unit
+        M2L family: the column space has exact rank <= rank(dc2e) (the
+        pinv rcond cutoff), measured ~80 of 152 at p=6 — per-offset
+        GEMMs run in the compressed space, one basis GEMM per box
+        expands after.  Lossless to ~1e-12 (randomized range finder
+        above 2048 rows — exact-SVD cost dominated cold setup)."""
+        M = self.m2l_unit                          # (316, ns, ns)
+        ns_ = M.shape[1]
+        A = np.transpose(M, (1, 0, 2)).reshape(ns_, -1)
+        U = _rand_colbasis(A, 1e-10)
+        r = min(max(8, -(-U.shape[1] // 8) * 8), ns_)  # sublane-align
+        if U.shape[1] < r:
+            U2, _, _ = np.linalg.svd(
+                A - U @ (U.T @ A), full_matrices=False)
+            U = np.concatenate([U, U2[:, :r - U.shape[1]]], axis=1)
+        Ur = np.ascontiguousarray(U[:, :r])
+        self.cb_unit = Ur
+        C = np.einsum("nm,omk->onk", Ur.T, M, optimize=True)
+        # second side: joint ROW basis V of the compressed family
+        # (M_d = U A_d V^T) — the source grid is projected onto V
+        # ONCE per level, so every scan step reads r2 <= ns channels
+        # instead of ns (the M2L sweep is traffic-bound)
+        B = np.transpose(C, (2, 0, 1)).reshape(ns_, -1)
+        V = _rand_colbasis(B, 1e-10)
+        r2 = min(max(8, -(-V.shape[1] // 8) * 8), ns_)
+        if V.shape[1] < r2:
+            V2, _, _ = np.linalg.svd(
+                B - V @ (V.T @ B), full_matrices=False)
+            V = np.concatenate([V, V2[:, :r2 - V.shape[1]]], axis=1)
+        Vr = np.ascontiguousarray(V[:, :r2])
+        self.vb_unit = Vr
+        self.ca_unit = np.einsum("ork,kn->orn", C, Vr, optimize=True)
+        self.cc_unit = C
 
-        for lvl in range(1, depth + 1):            # child level
-            side_c = scale / (1 << lvl)
-            side_p = 2 * side_c
-            # child center relative to parent center
-            cc = (child_pos - 0.5) * side_c
-            m2m_l, l2l_l = [], []
-            for c in range(8):
-                # child up-equiv -> parent up-check -> parent up-equiv
-                k = _kmat(ker_trans,
-                          surf * (RAD_OUT * side_p / 2),
-                          surf * (RAD_IN * side_c / 2) + cc[c])
-                m2m_l.append(self.uc2e[lvl - 1] @ k)
-                # parent dn-equiv -> child dn-check -> child dn-equiv
-                k2 = _kmat(ker_trans,
-                           surf * (RAD_IN * side_c / 2) + cc[c],
-                           surf * (RAD_OUT * side_p / 2))
-                l2l_l.append(self.dc2e[lvl] @ k2)
-            self.m2m.append(np.stack(m2m_l))       # (8, ns, ns)
-            self.l2l.append(np.stack(l2l_l))
+    def _derive_levels(self, ker_trans, depth, scale, surf):
+        """Per-level operator lists (the layout every consumer reads)
+        from the unit tables by homogeneity scaling.  Levels whose
+        scaling cancels (single-exponent kernels) share array objects;
+        _to_device dedupes them into one device buffer."""
+        s_exp = np.asarray(ker_trans.src_scal, np.float64)
+        t_exp = np.asarray(ker_trans.trg_scal, np.float64)
+        flat = len(set(s_exp)) == 1       # m2m/l2l/m2l scalings cancel
+        lam = [scale / (1 << lvl) for lvl in range(depth + 1)]
+        self.surf_in = [surf * (RAD_IN * l / 2) for l in lam]
+        self.surf_out = [surf * (RAD_OUT * l / 2) for l in lam]
+        self.uc2e = [_outer_scale(self.uc2e_unit, l, s_exp, t_exp)
+                     for l in lam]
+        self.dc2e = [_outer_scale(self.dc2e_unit, l, s_exp, t_exp)
+                     for l in lam]
 
-        for lvl in range(depth + 1):               # M2L at each level
-            side = scale / (1 << lvl)
-            mats = []
-            for d in self.offsets:
-                # target box at origin; source box center at +d*side
-                # (the shifted grid q[x+d] puts that source at slot x):
-                # src up-equiv surface -> trg dn-check surface
-                k = _kmat(ker_trans,
-                          surf * (RAD_IN * side / 2),
-                          surf * (RAD_IN * side / 2) + d * side)
-                mats.append(self.dc2e[lvl] @ k)
-            self.m2l.append(np.stack(mats))        # (316, ns, ns)
+        def conj(mat, l):                  # diag(l^s) mat diag(l^-s)
+            return mat if flat else _outer_scale(mat, l, s_exp, -s_exp)
 
-        self._compress_m2l()
-        self._save_cache(cache_path)
-        self._to_device(dtype, ker_s2t, ker_trans, ker_l2t)
+        def conj3(stack, l):
+            return stack if flat else np.stack(
+                [_outer_scale(m, l, s_exp, -s_exp) for m in stack])
 
-    def _compress_m2l(self):
-        """Joint column-basis factorization M_d = U (U^T M_d): the
-        column space of every level's M2L family has exact rank <=
-        rank(dc2e) (the pinv rcond cutoff), measured ~80 of 152 at
-        p=6 — the per-offset GEMMs run in the compressed space and one
-        basis GEMM per box expands afterwards.  Lossless to ~1e-12."""
-        self.m2l_u, self.m2l_c = [], []
-        self.m2l_v, self.m2l_a = [], []
-        for M in self.m2l:                         # (316, ns, ns)
-            ns_ = M.shape[1]
-            A = np.transpose(M, (1, 0, 2)).reshape(ns_, -1)
-            U, s, _ = np.linalg.svd(A, full_matrices=False)
-            r = int(np.searchsorted(-(s / max(s[0], 1e-300)),
-                                    -1e-10))      # first sv < 1e-10*s0
-            r = max(8, -(-r // 8) * 8)             # sublane-align
-            r = min(r, ns_)
-            Ur = U[:, :r]
-            self.m2l_u.append(np.ascontiguousarray(Ur))
-            C = np.einsum("nm,omk->onk", Ur.T, M, optimize=True)
-            self.m2l_c.append(C)
-            # second side: joint ROW basis V of the compressed family
-            # (M_d = U A_d V^T) — the source grid is projected onto V
-            # ONCE per level, so every scan step reads r2 <= ns
-            # channels instead of ns (the M2L sweep is traffic-bound)
-            B = np.transpose(C, (2, 0, 1)).reshape(ns_, -1)
-            V, s2, _ = np.linalg.svd(B, full_matrices=False)
-            r2 = int(np.searchsorted(-(s2 / max(s2[0], 1e-300)),
-                                     -1e-10))
-            r2 = min(max(8, -(-r2 // 8) * 8), ns_)
-            Vr = V[:, :r2]
-            self.m2l_v.append(np.ascontiguousarray(Vr))
-            self.m2l_a.append(np.einsum("ork,kn->orn", C, Vr,
-                                        optimize=True))
+        # m2m/l2l at child level lvl scale with the PARENT side
+        self.m2m = [conj3(self.m2m_unit, lam[lvl - 1])
+                    for lvl in range(1, depth + 1)]
+        self.l2l = [conj3(self.l2l_unit, lam[lvl - 1])
+                    for lvl in range(1, depth + 1)]
+        self.m2l = [conj3(self.m2l_unit, l) for l in lam]
+        rvec = lambda l: np.power(
+            l, np.tile(s_exp, self.cb_unit.shape[0] // len(s_exp)))
+        self.m2l_u = [self.cb_unit if flat
+                      else self.cb_unit * rvec(l)[:, None] for l in lam]
+        self.m2l_v = [self.vb_unit if flat
+                      else self.vb_unit / rvec(l)[:, None] for l in lam]
+        self.m2l_a = [self.ca_unit for _ in lam]
+        self.m2l_c = [self.cc_unit if flat
+                      else self.cc_unit / rvec(l)[None, None, :]
+                      for l in lam]
 
     def _to_device(self, dtype, ker_s2t, ker_trans, ker_l2t):
-        cast = lambda a: jnp.asarray(a, dtype=dtype)
+        seen = {}                  # id(np array) -> device array: the
+                                   # per-level lists share objects for
+                                   # single-exponent kernels; dedupe so
+                                   # each unique table uploads once
+
+        def cast(a):
+            d = seen.get(id(a))
+            if d is None:
+                d = seen[id(a)] = jnp.asarray(a, dtype=dtype)
+            return d
+
         self.uc2e_d = [cast(a) for a in self.uc2e]
         self.dc2e_d = [cast(a) for a in self.dc2e]
         self.m2m_d = [cast(a) for a in self.m2m]
@@ -236,11 +326,22 @@ class KIFMMOperators:
         # concatenated single-GEMM forms: q_parent = qc.(P,8n) @ m2m_cat
         # (8n,m); child = q_dn.(P,n) @ l2l_cat (n,8m) — one large MXU
         # GEMM per level instead of 8 small batched ones (measured 13x
-        # on the real chip at depth 6)
-        self.m2m_cat_d = [cast(np.transpose(a, (0, 2, 1)).reshape(
-            8 * a.shape[2], a.shape[1])) for a in self.m2m]
-        self.l2l_cat_d = [cast(np.transpose(a, (2, 0, 1)).reshape(
-            a.shape[2], 8 * a.shape[1])) for a in self.l2l]
+        # on the real chip at depth 6).  Memoized by source-array id so
+        # levels sharing tables share one device buffer.
+        cat_seen = {}
+
+        def cat_cast(a, f):
+            d = cat_seen.get(id(a))
+            if d is None:
+                d = cat_seen[id(a)] = jnp.asarray(f(a), dtype=dtype)
+            return d
+
+        self.m2m_cat_d = [cat_cast(a, lambda a: np.transpose(
+            a, (0, 2, 1)).reshape(8 * a.shape[2], a.shape[1]))
+            for a in self.m2m]
+        self.l2l_cat_d = [cat_cast(a, lambda a: np.transpose(
+            a, (2, 0, 1)).reshape(a.shape[2], 8 * a.shape[1]))
+            for a in self.l2l]
         self.surf_in_d = [cast(a) for a in self.surf_in]
         self.surf_out_d = [cast(a) for a in self.surf_out]
         self.ker_s2t = ker_s2t
@@ -252,36 +353,27 @@ class KIFMMOperators:
         self.k0t = ker_trans.kdim0
         self.k1t = ker_trans.kdim1
 
+    _UNIT_NAMES = ("uc2e_unit", "dc2e_unit", "m2m_unit", "l2l_unit",
+                   "m2l_unit", "cb_unit", "cc_unit", "vb_unit",
+                   "ca_unit")
+
     def _save_cache(self, path):
         import os
         try:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-            arrs = {}
-            for name in ("uc2e", "dc2e", "m2m", "l2l", "m2l",
-                         "m2l_u", "m2l_c", "m2l_v", "m2l_a",
-                         "surf_in", "surf_out"):
-                for i, a in enumerate(getattr(self, name)):
-                    arrs[f"{name}_{i}"] = a
-            np.savez(path, **arrs)
+            np.savez(path, **{n: getattr(self, n)
+                              for n in self._UNIT_NAMES})
         except OSError:
             pass                                   # cache is best-effort
 
-    def _load_cache(self, path, depth) -> bool:
+    def _load_cache(self, path) -> bool:
         import os
         if not os.path.exists(path):
             return False
         try:
             z = np.load(path)
-            for name, n in (("uc2e", depth + 1), ("dc2e", depth + 1),
-                            ("m2m", depth), ("l2l", depth),
-                            ("m2l", depth + 1), ("m2l_u", depth + 1),
-                            ("m2l_c", depth + 1),
-                            ("m2l_v", depth + 1),
-                            ("m2l_a", depth + 1),
-                            ("surf_in", depth + 1),
-                            ("surf_out", depth + 1)):
-                setattr(self, name,
-                        [z[f"{name}_{i}"] for i in range(n)])
+            for n in self._UNIT_NAMES:
+                setattr(self, n, z[n])
             return True
         except Exception:
             return False

@@ -86,6 +86,13 @@ class KernelSpec:
     # K(a*r) = a^scale_exp * K(r)  (for scale-invariant kernels; used by
     # FMM auto-scaling, fmm-wrapper.txx:607 BuildSrcTrgScal)
     scale_exp: float = 0.0
+    # per-component homogeneity split (the reference's per-dim
+    # src_scal/trg_scal vectors, fmm-wrapper.txx:607-660):
+    # K(a*r)[i,j] = a^-(src_scal[i] + trg_scal[j]) K(r)[i,j].
+    # Lets the FMM derive every level's translation tables from ONE
+    # unit-box precompute by outer diagonal scaling.
+    src_scal: tuple = None
+    trg_scal: tuple = None
 
     def matrix(self, dx, n=None):
         """Kernel matrix blocks WITHOUT the scale factor prefactor
@@ -275,28 +282,36 @@ _PI = math.pi
 
 Laplace3D_FxU = KernelSpec(
     "Laplace3D-FxU", 3, 1, 1, False, 6, 1 / (4 * _PI),
-    _lap_fxu_matrix, _lap_fxu_apply, scale_exp=-1.0)
+    _lap_fxu_matrix, _lap_fxu_apply, scale_exp=-1.0,
+    src_scal=(1.0,), trg_scal=(0.0,))
 Laplace3D_DxU = KernelSpec(
     "Laplace3D-DxU", 3, 1, 1, True, 14, 1 / (4 * _PI),
-    _lap_dxu_matrix, _lap_dxu_apply, scale_exp=-2.0)
+    _lap_dxu_matrix, _lap_dxu_apply, scale_exp=-2.0,
+    src_scal=(2.0,), trg_scal=(0.0,))
 Laplace3D_FxdU = KernelSpec(
     "Laplace3D-FxdU", 3, 1, 3, False, 11, -1 / (4 * _PI),
-    _lap_fxdu_matrix, _lap_fxdu_apply, scale_exp=-2.0)
+    _lap_fxdu_matrix, _lap_fxdu_apply, scale_exp=-2.0,
+    src_scal=(1.0,), trg_scal=(1.0, 1.0, 1.0))
 Stokes3D_FxU = KernelSpec(
     "Stokes3D-FxU", 3, 3, 3, False, 23, 1 / (8 * _PI),
-    _stk_fxu_matrix, _stk_fxu_apply, scale_exp=-1.0)
+    _stk_fxu_matrix, _stk_fxu_apply, scale_exp=-1.0,
+    src_scal=(1.0, 1.0, 1.0), trg_scal=(0.0, 0.0, 0.0))
 Stokes3D_DxU = KernelSpec(
     "Stokes3D-DxU", 3, 3, 3, True, 26, 3 / (4 * _PI),
-    _stk_dxu_matrix, _stk_dxu_apply, scale_exp=-2.0)
+    _stk_dxu_matrix, _stk_dxu_apply, scale_exp=-2.0,
+    src_scal=(2.0, 2.0, 2.0), trg_scal=(0.0, 0.0, 0.0))
 Stokes3D_FxT = KernelSpec(
     "Stokes3D-FxT", 3, 3, 9, False, 39, -3 / (4 * _PI),
-    _stk_fxt_matrix, _stk_fxt_apply, scale_exp=-2.0)
+    _stk_fxt_matrix, _stk_fxt_apply, scale_exp=-2.0,
+    src_scal=(1.0, 1.0, 1.0), trg_scal=(1.0,) * 9)
 Stokes3D_FSxU = KernelSpec(
     "Stokes3D-FSxU", 3, 4, 3, False, 26, 1 / (8 * _PI),
-    _stk_fsxu_matrix, _stk_fsxu_apply, scale_exp=-1.0)
+    _stk_fsxu_matrix, _stk_fsxu_apply, scale_exp=-1.0,
+    src_scal=(1.0, 1.0, 1.0, 2.0), trg_scal=(0.0, 0.0, 0.0))
 Stokes3D_FxUP = KernelSpec(
     "Stokes3D-FxUP", 3, 3, 4, False, 26, 1 / (8 * _PI),
-    _stk_fxup_matrix, _stk_fxup_apply, scale_exp=-1.0)
+    _stk_fxup_matrix, _stk_fxup_apply, scale_exp=-1.0,
+    src_scal=(1.0, 1.0, 1.0), trg_scal=(0.0, 0.0, 0.0, 1.0))
 
 KERNELS: Dict[str, KernelSpec] = {
     k.name: k for k in (

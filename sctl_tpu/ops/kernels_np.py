@@ -27,15 +27,40 @@ def full_matrix_np(ker: KernelSpec, xt: np.ndarray, xs: np.ndarray,
                    ns=None) -> np.ndarray:
     """(Ns*k0, Nt*k1) matrix, scale factor included — numpy mirror of
     KernelSpec.full_matrix."""
+    m = block_matrix_np(ker, xt, xs, ns)           # (T,S,k0,k1)
+    T, S = m.shape[:2]
+    return m.transpose(1, 2, 0, 3).reshape(S * ker.kdim0,
+                                           T * ker.kdim1)
+
+
+def block_matrix_np(ker: KernelSpec, xt: np.ndarray, xs: np.ndarray,
+                    ns=None) -> np.ndarray:
+    """(T, S, k0, k1) kernel blocks, scale factor included — the
+    batched-target form used by the BIE near-setup waves."""
     xt = np.atleast_2d(np.asarray(xt, np.float64))
     xs = np.atleast_2d(np.asarray(xs, np.float64))
     d, rinv = _geom(xt, xs)                        # d: (T,S,3)
-    T, S = rinv.shape
+    if ns is not None:
+        ns = np.broadcast_to(np.asarray(ns), d.shape)
+    return offset_blocks_np(ker, d, rinv, ns)
+
+
+def offset_blocks_np(ker: KernelSpec, d: np.ndarray, rinv=None,
+                     ns=None) -> np.ndarray:
+    """(..., k0, k1) kernel blocks from precomputed displacements
+    d = xt - xs (..., 3) (and optional per-pair source normals of the
+    same shape) — the paired form for quadratures whose source set
+    differs per target (batched Duffy near-setup)."""
+    d = np.asarray(d, np.float64)
+    if rinv is None:
+        r2 = (d * d).sum(-1)
+        rinv = np.where(r2 > 0,
+                        1.0 / np.sqrt(np.where(r2 > 0, r2, 1.0)), 0.0)
     name = ker.name
     if name == "Laplace3D-FxU":
         m = rinv[..., None, None]
     elif name == "Laplace3D-DxU":
-        rdotn = (d * ns[None, :, :]).sum(-1)
+        rdotn = (d * ns).sum(-1)
         m = (rdotn * rinv ** 3)[..., None, None]
     elif name == "Laplace3D-FxdU":
         m = (d * (rinv ** 3)[..., None])[..., None, :]
@@ -44,14 +69,14 @@ def full_matrix_np(ker: KernelSpec, xt: np.ndarray, xs: np.ndarray,
              + d[..., :, None] * d[..., None, :]
              * (rinv ** 3)[..., None, None])
     elif name == "Stokes3D-DxU":
-        rdotn = (d * ns[None, :, :]).sum(-1)
+        rdotn = (d * ns).sum(-1)
         m = d[..., :, None] * d[..., None, :] * (
             rdotn * rinv ** 5)[..., None, None]
     elif name == "Stokes3D-FxT":
         rr = (d[..., :, None, None] * d[..., None, :, None]
               * d[..., None, None, :] * (rinv ** 5)[..., None, None,
                                                     None])
-        m = rr.reshape(T, S, 3, 9)
+        m = rr.reshape(d.shape[:-1] + (3, 9))
     elif name == "Stokes3D-FSxU":
         stk = (np.eye(3) * rinv[..., None, None]
                + d[..., :, None] * d[..., None, :]
@@ -66,6 +91,4 @@ def full_matrix_np(ker: KernelSpec, xt: np.ndarray, xs: np.ndarray,
         m = np.concatenate([stk, p], axis=-1)
     else:
         raise NotImplementedError(name)
-    m = m * ker.scale_factor                       # (T,S,k0,k1)
-    return m.transpose(1, 2, 0, 3).reshape(S * ker.kdim0,
-                                           T * ker.kdim1)
+    return m * ker.scale_factor                    # (T,S,k0,k1)
