@@ -107,3 +107,25 @@ def enable_compile_cache(path: str = None) -> bool:
 
 if _env_bool("SCTL_COMPILE_CACHE", False):
     enable_compile_cache()
+
+
+def _set_matmul_precision():
+    """Default unannotated f32 matmuls to full-f32 precision.
+
+    On TPU an unannotated f32 `jnp.dot`/`einsum` runs its MXU passes at
+    bf16 (~1e-3 relative error); in a scientific library f32 must mean
+    f32 — the reference evaluates everything at declared precision.
+    Hot paths that measured their precision choice annotate it
+    explicitly (KIFMM GEMMs use HIGHEST; the Pallas M2L uses an
+    error-free bf16 3-pass split), so this only affects call sites
+    that would otherwise be silently wrong (measured: O(1) errors in
+    the Stokes FMM near field from bf16 + cancellation before the
+    kernel applies were annotated).  Opt out (e.g. for throughput
+    experiments) with SCTL_MATMUL_PRECISION=default."""
+    import jax
+    lvl = os.environ.get("SCTL_MATMUL_PRECISION", "highest")
+    if lvl and lvl != "default":
+        jax.config.update("jax_default_matmul_precision", lvl)
+
+
+_set_matmul_precision()

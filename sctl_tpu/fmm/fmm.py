@@ -119,6 +119,36 @@ class ParticleFMM:
             u = us if u is None else u + us
         return u
 
+    def eval_jnp(self, trg_name: str, densities: Dict[str, jnp.ndarray]
+                 ) -> jnp.ndarray:
+        """Traced evaluation: densities {src_name: (n, k0) jnp} ->
+        (n_trg, k1) jnp with NO host round trip — the solver-loop
+        path (a GMRES over the facade previously paid a host
+        pad/un-sort per iteration through `eval`; reference:
+        fmm-wrapper.txx:481 evaluates device-resident).  Tree pairs
+        route through KIFMM.eval_jnp, small/direct pairs through
+        the blocked direct sum; the whole call is jittable."""
+        xt = self.trg[trg_name].coord
+        total = sum(len(self.src[s].coord)
+                    for (s, t) in self.s2t_kernels if t == trg_name)
+        u = None
+        for (s, t), ker in self.s2t_kernels.items():
+            if t != trg_name:
+                continue
+            g = self.src[s]
+            f = jnp.asarray(densities[s]).reshape(-1, ker.kdim0)
+            if (total < DIRECT_CUTOFF or ker.name not in _TREE_L2T):
+                us = direct_eval_blocked(
+                    ker, jnp.asarray(xt), jnp.asarray(g.coord), f,
+                    ns=None if g.normal is None
+                    else jnp.asarray(g.normal),
+                    block_t=1024, block_s=1024)
+            else:
+                kifmm = self._get_kifmm(ker, xt, g, s, trg_name)
+                us = kifmm.eval_jnp(f)
+            u = us if u is None else u + us
+        return u
+
     def eval_direct(self, trg_name: str) -> np.ndarray:
         """O(N^2) direct evaluation (reference: EvalDirect,
         fmm-wrapper.txx:490) — the correctness oracle."""
@@ -139,14 +169,18 @@ class ParticleFMM:
             block_t=1024, block_s=1024)
         return np.asarray(u)
 
-    def _tree_pair(self, ker, xt, g, s_name, t_name) -> np.ndarray:
+    def _get_kifmm(self, ker, xt, g, s_name, t_name) -> KIFMM:
         key = (ker.name, s_name, t_name)
         if key not in self._kifmm_cache:
             p = max(4, min(10, self.accuracy))
             kifmm = KIFMM(ker, p=p, ker_l2t=_TREE_L2T[ker.name])
             kifmm.setup(g.coord, xt, n_src=g.normal)
             self._kifmm_cache[key] = kifmm
-        return self._kifmm_cache[key].eval(g.density)
+        return self._kifmm_cache[key]
+
+    def _tree_pair(self, ker, xt, g, s_name, t_name) -> np.ndarray:
+        return self._get_kifmm(ker, xt, g, s_name, t_name).eval(
+            g.density)
 
     # -- distributed direct: ppermute ring -------------------------------
     def eval_direct_ring(self, kernel: KernelSpec, xt, xs, f, ns=None,

@@ -323,6 +323,37 @@ class KIFMMOperators:
         self.m2l_c_d = [cast(a) for a in self.m2l_c]
         self.m2l_v_d = [cast(a) for a in self.m2l_v]
         self.m2l_a_d = [cast(a) for a in self.m2l_a]
+        at_seen = {}
+
+        def at_cast(a):                # A_d^T for the Pallas M2L
+            d = at_seen.get(id(a))
+            if d is None:
+                d = at_seen[id(a)] = jnp.asarray(
+                    np.ascontiguousarray(np.transpose(a, (0, 2, 1))),
+                    dtype=dtype)
+            return d
+
+        self.m2l_at_d = [at_cast(a) for a in self.m2l_a]
+        # lane-quantized rank caps for the Pallas M2L: the MXU pads
+        # channel dims to 128 lanes, so anything beyond a 128-multiple
+        # costs a full extra lane tile — find the smallest 128-multiple
+        # whose dropped tail (importance-ordered bases, measured from
+        # the compressed family's Frobenius mass) stays below the f32
+        # pipeline floor.  The scan/f64 paths keep the exact ranks.
+        ca = np.asarray(self.ca_unit, np.float64)     # (316, r, r2)
+        cap_tol2 = max(self._rcond, 1e-6) ** 2
+
+        def _cap(axis):
+            other = tuple(i for i in range(3) if i != axis)
+            nrm2 = (ca ** 2).sum(axis=other)
+            tot = nrm2.sum()
+            c = 128
+            while c < len(nrm2) and nrm2[c:].sum() > cap_tol2 * tot:
+                c += 128
+            return int(min(c, len(nrm2)))
+
+        self.m2l_cap_r = _cap(1)
+        self.m2l_cap_r2 = _cap(2)
         # concatenated single-GEMM forms: q_parent = qc.(P,8n) @ m2m_cat
         # (8n,m); child = q_dn.(P,n) @ l2l_cat (n,8m) — one large MXU
         # GEMM per level instead of 8 small batched ones (measured 13x
@@ -439,6 +470,7 @@ class KIFMM:
                  ker_s2m: Optional[KernelSpec] = None,
                  dtype=None,
                  use_pallas_p2p: Optional[bool] = None,
+                 use_pallas_m2l: Optional[bool] = None,
                  rcond: Optional[float] = None):
         import jax
         from ..ops.kernels import Laplace3D_FxdU, Stokes3D_FSxU
@@ -452,6 +484,11 @@ class KIFMM:
         if use_pallas_p2p is None:
             use_pallas_p2p = jax.default_backend() in ("tpu", "axon")
         self.use_pallas_p2p = use_pallas_p2p
+        # z-tiled windowed Pallas M2L (ops/pallas_m2l.py) on real TPU;
+        # the per-parity scan elsewhere
+        if use_pallas_m2l is None:
+            use_pallas_m2l = jax.default_backend() in ("tpu", "axon")
+        self.use_pallas_m2l = use_pallas_m2l
         self.ker_s2t = ker_s2t
         if ker_s2t.name.startswith("Stokes"):
             self.ker_trans = Stokes3D_FSxU
@@ -558,6 +595,7 @@ class KIFMM:
             "m2l_c": tuple(ops.m2l_c_d),
             "m2l_v": tuple(ops.m2l_v_d),
             "m2l_a": tuple(ops.m2l_a_d),
+            "m2l_at": tuple(ops.m2l_at_d),
             "surf_out_L": ops.surf_out_d[L],
             **self._parity_tables(ops),
             "gidx": tuple(jnp.asarray(self._grid_index_np(l))
@@ -784,9 +822,42 @@ class KIFMM:
         return self._pad_pos_cache
 
     def _flop_model(self) -> float:
-        npts = float(len(self._perm_q))
-        return npts * (27 * self.pts_per_leaf * self.ker_s2t.flops
-                       + 2 * self._ops.n_surf * 4)
+        """FLOPs of one evaluation from the ACTUAL executed shapes —
+        quantile-capped padded slabs, slot-2 overflow sidebands, and
+        the per-level compressed M2L ranks — so the profiler's f/s
+        fields (reference-parity GFLOP/s report, profile.txx:266-267)
+        describe what the chip really ran, not a fixed
+        27*pts_per_leaf estimate."""
+        ops = self._ops
+        B = float(self.src_tree.n_boxes)
+        ns = ops.n_surf * ops.k0t
+        kf = self.ker_s2t.flops
+        cap_s_eff = (self.stencil_cap if self.use_pallas_p2p
+                     else self.cap_s)
+        fl = 27.0 * B * self.cap_t * cap_s_eff * kf          # P2P
+        if self.n_ovf_s:
+            fl += (27.0 * len(self.sov_boxes) * self.cap_t
+                   * self.sov_cap * kf)
+        if self.n_ovf_t:
+            fl += (27.0 * len(self.tov_boxes) * self.tov_cap
+                   * self.cap_s * kf)
+            if self.n_ovf_s:
+                fl += (27.0 * len(self.tov_boxes) * self.tov_cap
+                       * self.sov_cap * kf)
+        # S2M checks + uc2e GEMM, L2T
+        fl += B * ops.n_surf * self.cap_s * self.ker_s2m.flops
+        fl += B * self.cap_t * ops.n_surf * self.ker_l2t.flops
+        fl += 2.0 * B * ns * ns
+        for lvl in range(2, self.depth + 1):
+            bl = 8.0 ** lvl
+            r = ops.m2l_u[lvl].shape[1]
+            r2 = ops.m2l_v[lvl].shape[1]
+            fl += bl * 2.0 * ns * (r + r2)     # U/V projections
+            fl += 189.0 * bl * 2.0 * r * r2    # V-list translations
+        for lvl in range(3, self.depth + 1):
+            # concatenated M2M + L2L GEMMs at the parent level
+            fl += 8.0 ** (lvl - 1) * 2.0 * (8 * ns) * ns * 2
+        return fl
 
     def _eval_impl(self, fp, fp_ovf, data):
         ops = self._ops
@@ -837,19 +908,76 @@ class KIFMM:
             q_levels[lvl - 1] = jnp.dot(qc, data["m2m_cat"][lvl - 1],
                                         precision=hi)
 
-        # ---- M2L at each level: per-parity subgrid scans ----
-        # Each child parity c has exactly 189 valid V-list offsets.
-        # Store the grid PARITY-MAJOR (2,2,2,h,h,h,ns): the source
-        # position 2y + c + d decomposes into a parity pick
-        # ep = (c+d)&1 (a leading contiguous block) plus an unstrided
-        # spatial shift eb = (c+d)//2 — every scan step slices a
-        # contiguous (h,h,h,ns) block; no strided access, no masking,
-        # 189/316 of the flops of the naive sweep.
+        # ---- M2L at each level ----
+        v_dn = self._m2l_sweep(q_levels, data)
+
+        # ---- downward: L2L (dc2e is folded into the m2l/l2l mats;
+        # one concatenated GEMM per level) ----
+        q_dn = v_dn[2]
+        for lvl in range(3, L + 1):
+            qc = jnp.dot(q_dn, data["l2l_cat"][lvl - 1], precision=hi)
+            q_dn = qc.reshape(-1, ns) + v_dn[lvl]
+        return self._downward_tail(q_dn, fp, fp_ovf, data)
+
+    def _m2l_sweep(self, q_levels, data):
+        """V-list translations at every level: the Pallas z-tiled
+        window kernel (ops/pallas_m2l.py) on TPU, else per-parity
+        subgrid scans.  In the scan form, each child parity c has
+        exactly 189 valid V-list offsets; the grid is stored
+        PARITY-MAJOR (2,2,2,h,h,h,ns): the source position 2y + c + d
+        decomposes into a parity pick ep = (c+d)&1 (a leading
+        contiguous block) plus an unstrided spatial shift
+        eb = (c+d)//2 — every scan step slices a contiguous
+        (h,h,h,ns) block; no strided access, no masking, 189/316 of
+        the flops of the naive sweep."""
+        ops = self._ops
+        L = self.depth
+        ns = ops.n_surf * ops.k0t
+        dt = self.dtype
+        hi = lax.Precision.HIGHEST
         v_dn = {}
         for lvl in range(2, L + 1):
             nside = 1 << lvl
             h = nside // 2
             q_grid = self._to_grid(q_levels[lvl], lvl, data["gidx"][lvl])
+            # VMEM gate: the kernel keeps the full bf16 operator
+            # stack resident (2 x 316 x R2 x Rr) plus window/scratch;
+            # multi-component kernels (Stokes: r2=608 -> 103 MB mats
+            # alone) exceed the 128 MB chip VMEM — they stay on the
+            # per-parity scan
+            cap_r = -(-getattr(ops, "m2l_cap_r", 1 << 30) // 128) * 128
+            cap_r2 = -(-getattr(ops, "m2l_cap_r2", 1 << 30) // 128) \
+                * 128
+            mats_mb = 2 * 316 * cap_r * cap_r2 * 2 / 2 ** 20
+            if (self.use_pallas_m2l and nside >= 8
+                    and dt == jnp.float32 and mats_mb <= 48):
+                # z-tiled windowed Pallas sweep (ops/pallas_m2l.py):
+                # project onto V, pad 3-wide margins, one kernel call.
+                # Lane quantization: the MXU pads every channel dim to
+                # 128 lanes, so ranks beyond a 128-multiple cost a
+                # full extra lane tile — truncate the importance-
+                # ordered U/V bases (SVD order) to the caps computed
+                # in KIFMMOperators._to_device (dropped Frobenius
+                # tail below the f32 pipeline floor; the f64 path
+                # keeps the exact ranks via the scan branch).
+                from ..ops.pallas_m2l import m2l_grid
+                cr, cr2 = ops.m2l_cap_r, ops.m2l_cap_r2
+                V = data["m2l_v"][lvl][:, :cr2]
+                U = data["m2l_u"][lvl][:, :cr]
+                At = data["m2l_at"][lvl][:, :cr2, :cr]
+                r2 = V.shape[1]
+                r = U.shape[1]
+                qr2 = jnp.einsum("xyzn,nk->xyzk",
+                                 q_grid.reshape(nside, nside, nside,
+                                                ns),
+                                 V, precision=hi)
+                qp = jnp.pad(qr2, ((3, 3), (3, 3), (3, 3), (0, 0)))
+                acc = m2l_grid(qp, At, nside, r, r2)
+                out_full = jnp.einsum("xyzr,nr->xyzn", acc, U,
+                                      precision=hi)
+                v_dn[lvl] = self._from_grid(out_full, lvl,
+                                            data["gidx"][lvl])
+                continue
             qr = q_grid.reshape(h, 2, h, 2, h, 2, ns).transpose(
                 1, 3, 5, 0, 2, 4, 6)               # (2,2,2,h,h,h,ns)
             # two-sided compression M_d = U A_d V^T: project the grid
@@ -892,13 +1020,18 @@ class KIFMM:
                 nside, nside, nside, ns)
             v_dn[lvl] = self._from_grid(acc_full, lvl,
                                         data["gidx"][lvl])  # (B_l, ns)
+        return v_dn
 
-        # ---- downward: L2L (dc2e is folded into the m2l/l2l mats;
-        # one concatenated GEMM per level) ----
-        q_dn = v_dn[2]
-        for lvl in range(3, L + 1):
-            qc = jnp.dot(q_dn, data["l2l_cat"][lvl - 1], precision=hi)
-            q_dn = qc.reshape(-1, ns) + v_dn[lvl]
+    def _downward_tail(self, q_dn, fp, fp_ovf, data):
+        """L2T + near-field P2P + overflow sidebands from the leaf
+        down-equivalents (the back half of _eval_impl)."""
+        ops = self._ops
+        L = self.depth
+        B = self.src_tree.n_boxes
+        dt = self.dtype
+        xs_pad, ns_pad = data["xs_pad"], data["ns_pad"]
+        xt_pad, ctr, nb = data["xt_pad"], data["ctr"], data["nb"]
+        Os, Ot = self.n_ovf_s, self.n_ovf_t
 
         # ---- L2T ----
         xeq = data["surf_out_L"][None] + ctr[:, None, :]      # (B,ns,3)

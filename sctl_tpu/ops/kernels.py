@@ -64,9 +64,18 @@ def _pairwise_r2(xt, xs):
 
 
 def _rdot(xt, xs, v):
-    """(T,S) pairwise r.v for per-source vectors v: (xt - xs).v_s."""
-    return (jnp.dot(xt, v.T, preferred_element_type=xt.dtype)
-            - jnp.sum(xs * v, axis=1)[None, :])
+    """(T,S) pairwise r.v for per-source vectors v: (xt - xs).v_s.
+
+    Explicit-difference form (like `_pairwise_r2`), NOT the
+    xt@v.T - (xs.v) matmul form: on TPU an unannotated f32 matmul
+    runs at bf16 (~1e-3), and the subtraction cancels for nearby
+    points, amplifying that rounding by |x|/r — measured O(1) errors
+    in the Stokes near field at fine tree levels."""
+    acc = None
+    for d in range(xt.shape[1]):
+        t = (xt[:, d][:, None] - xs[:, d][None, :]) * v[:, d][None, :]
+        acc = t if acc is None else acc + t
+    return acc
 
 
 @dataclasses.dataclass(frozen=True)
@@ -126,7 +135,8 @@ def _lap_fxu_matrix(dx, n):
 def _lap_fxu_apply(xt, xs, ns, f, mask=None):
     r2 = _pairwise_r2(xt, xs)
     return jnp.dot(_rinv(r2, mask), f,
-                   preferred_element_type=f.dtype)
+                   preferred_element_type=f.dtype,
+                 precision=lax.Precision.HIGHEST)
 
 
 def _lap_dxu_matrix(dx, n):
@@ -141,7 +151,8 @@ def _lap_dxu_apply(xt, xs, ns, f, mask=None):
     rinv = _rinv(r2, mask)
     rdotn = _rdot(xt, xs, ns)
     return jnp.dot(rdotn * rinv * rinv * rinv, f,
-                   preferred_element_type=f.dtype)
+                   preferred_element_type=f.dtype,
+                 precision=lax.Precision.HIGHEST)
 
 
 def _lap_fxdu_matrix(dx, n):
@@ -157,7 +168,8 @@ def _lap_fxdu_apply(xt, xs, ns, f, mask=None):
     rinv = _rinv(r2, mask)
     rinv3 = rinv * rinv * rinv
     B = jnp.concatenate([f, xs * f], axis=1)            # (S,4)
-    H = jnp.dot(rinv3, B, preferred_element_type=f.dtype)  # (T,4)
+    H = jnp.dot(rinv3, B, preferred_element_type=f.dtype,
+                 precision=lax.Precision.HIGHEST)  # (T,4)
     return xt * H[:, :1] - H[:, 1:4]
 
 
@@ -176,10 +188,12 @@ def _stk_fxu_matrix(dx, n):
 
 def _stk_fxu_terms(xt, xs, f, rinv, rinv3):
     """Shared Stokeslet application: rinv@f + r (r.f) rinv3."""
-    term1 = jnp.dot(rinv, f, preferred_element_type=f.dtype)
+    term1 = jnp.dot(rinv, f, preferred_element_type=f.dtype,
+                 precision=lax.Precision.HIGHEST)
     C = _rdot(xt, xs, f) * rinv3                        # (T,S)
     B = jnp.concatenate([jnp.ones_like(xs[:, :1]), xs], axis=1)  # (S,4)
-    H = jnp.dot(C, B, preferred_element_type=f.dtype)   # (T,4)
+    H = jnp.dot(C, B, preferred_element_type=f.dtype,
+                 precision=lax.Precision.HIGHEST)   # (T,4)
     return term1 + xt * H[:, :1] - H[:, 1:4]
 
 
@@ -206,7 +220,8 @@ def _stk_dxu_apply(xt, xs, ns, f, mask=None):
     rinv2 = rinv * rinv
     D = _rdot(xt, xs, f) * _rdot(xt, xs, ns) * (rinv2 * rinv2 * rinv)
     B = jnp.concatenate([jnp.ones_like(xs[:, :1]), xs], axis=1)
-    H = jnp.dot(D, B, preferred_element_type=f.dtype)
+    H = jnp.dot(D, B, preferred_element_type=f.dtype,
+                 precision=lax.Precision.HIGHEST)
     return xt * H[:, :1] - H[:, 1:4]
 
 
@@ -229,7 +244,8 @@ def _stk_fxt_apply(xt, xs, ns, f, mask=None):
     ones = jnp.ones_like(xs[:, :1])
     xx = (xs[:, :, None] * xs[:, None, :]).reshape(-1, 9)
     B = jnp.concatenate([ones, xs, xx], axis=1)          # (S,13)
-    H = jnp.dot(E, B, preferred_element_type=f.dtype)    # (T,13)
+    H = jnp.dot(E, B, preferred_element_type=f.dtype,
+                 precision=lax.Precision.HIGHEST)    # (T,13)
     h0, hx, hxx = H[:, :1], H[:, 1:4], H[:, 4:13].reshape(-1, 3, 3)
     out = (xt[:, :, None] * xt[:, None, :] * h0[:, :, None]
            - xt[:, :, None] * hx[:, None, :]
@@ -254,7 +270,8 @@ def _stk_fsxu_apply(xt, xs, ns, f, mask=None):
     # source/sink: u_j += sum_s r_j rinv3 q_s
     q = f[:, 3:4]
     B = jnp.concatenate([q, xs * q], axis=1)
-    H = jnp.dot(rinv3, B, preferred_element_type=f.dtype)
+    H = jnp.dot(rinv3, B, preferred_element_type=f.dtype,
+                 precision=lax.Precision.HIGHEST)
     return u + xt * H[:, :1] - H[:, 1:4]
 
 

@@ -113,6 +113,24 @@ def test_particle_fmm_facade_tree_path():
     assert rel_err(u, u_ref) < 2e-4, rel_err(u, u_ref)
 
 
+def test_particle_fmm_facade_eval_jnp():
+    """Traced facade path: eval_jnp matches eval for both the direct
+    and the tree dispatch, with no host round trip (jittable)."""
+    for n in (500, 50_000):
+        fmm = ParticleFMM(accuracy=6)
+        fmm.set_kernel_s2t("s", "t", Laplace3D_FxU)
+        xs = RNG.random((n, 3))
+        f = RNG.normal(size=(n, 1))
+        fmm.set_src_coord("s", xs)
+        fmm.set_src_density("s", f)
+        xt = RNG.random((min(n, 2000), 3))
+        fmm.set_trg_coord("t", xt)
+        u_ref = fmm.eval("t")
+        u = np.asarray(jax.jit(
+            lambda d: fmm.eval_jnp("t", d))({"s": jnp.asarray(f)}))
+        np.testing.assert_allclose(u, u_ref, rtol=1e-10, atol=1e-12)
+
+
 def test_eval_direct_ring(mesh8):
     """Distributed ring direct sum == single-device direct sum
     (reference: EvalDirect ring, fmm-wrapper.txx:537-558)."""
