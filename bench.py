@@ -1,12 +1,12 @@
-"""Benchmark driver: prints ONE JSON line with the headline metric.
+"""Benchmark driver: prints one JSON line per headline metric.
 
-Headline (BASELINE.json): Laplace KIFMM throughput at 1e7 uniform
+Headline 1 (BASELINE.json): Laplace KIFMM throughput at 1e7 uniform
 points, points/sec/chip, device-resident evaluation (density on device,
 potential on device — the steady state of a GMRES/BIE outer loop).
 
-vs_baseline: ratio to 1e7 pts/s — an estimate of a 64-core x86 node
-running a PVFMM-class CPU FMM at the same size/accuracy (the reference
-publishes no numbers of its own, BASELINE.md; north star is >=5x).
+Headline 2 (BASELINE.md): Stokes BIE GMRES wall-clock at >= 1e5
+unknowns with the FMM far field ACTIVE (asserted), plus independently
+measured solution accuracy against an exact Stokes flow.
 
 Timing rules for this environment (see .claude/skills/verify/SKILL.md):
 fresh input values per call (the runtime result-caches identical
@@ -15,6 +15,7 @@ before remote execution completes).
 """
 
 import json
+import os
 import time
 
 import jax
@@ -53,87 +54,146 @@ def bench_fmm(n: int = 10_000_000, iters: int = 3) -> float:
     return n / dt
 
 
-def bench_bie(iters: int = 3) -> dict:
-    """Headline metric 2 (BASELINE.md): Stokes BIE GMRES wall-clock —
-    interior Dirichlet on a torus via the double-layer ansatz, solved
-    with the fully device-resident GMRES (gmres_device) over the traced
-    operator (compute_potential_jnp).  Solves to the f32 floor (tol
-    1e-6 relative residual; the 1e-10 anchor needs the f64 CPU path —
-    see BASELINE.md accuracy ladder).  vs_baseline = wall-clock ratio
-    against the host-loop GMRES over the same jitted operator (the
-    device-residency win; setup/precompute excluded from both)."""
+def bench_bie(iters: int = 2) -> dict:
+    """Stokes BIE GMRES wall-clock at >= 1e5 unknowns (VERDICT r2 #2).
+
+    Interior Dirichlet on a torus via the double-layer ansatz:
+    nu=48 x nv=20 patches at q=6 -> 34,560 surface nodes = 103,680
+    Stokes unknowns; 138,240 far quadrature nodes (>= the 40k cutoff,
+    so the far field runs through AdaptiveFMM — asserted).  Solved
+    with the fully device-resident restarted GMRES to a 1e-6 relative
+    residual (the f32 chip floor; the 1e-10 anchor runs on the f64 CPU
+    path — BASELINE.md accuracy ladder).  Solution accuracy is
+    measured independently against the exact Stokeslet field at
+    interior check points.  The near-singular quadrature setup is
+    disk-cached under SCTL_DATA_PATH (first run pays it once).
+
+    vs_baseline: wall-clock ratio of the HOST-LOOP GMRES (one jitted
+    operator apply per iteration, host orthogonalization — a faithful
+    port of the reference's loop, lin-solve.txx:80-247) over the
+    device-resident solve, both on this chip with the same operator.
+    The reference publishes no absolute numbers (BASELINE.md), so this
+    reports the device-residency win, not a cross-machine comparison.
+    """
     from sctl_tpu.bie import BoundaryIntegralOp, torus_patches
     from sctl_tpu.ops import Stokes3D_DxU, Stokes3D_FxU, \
         direct_eval_blocked
     from sctl_tpu.linalg import gmres, gmres_device
+    from sctl_tpu.config import config
 
-    lst = torus_patches(nu=8, nv=4, q=6, R=2.0, r=0.5)
+    nu, nv, q = 48, 20, 6
+    R, r_min = 2.0, 0.5
+    t_setup0 = time.perf_counter()
+    lst = torus_patches(nu=nu, nv=nv, q=q, R=R, r=r_min)
     op = BoundaryIntegralOp(Stokes3D_DxU)
-    op.set_accuracy(1e-7)
+    op.set_accuracy(1e-6)
     op.add_elem_list(lst)
+    op.near_cache = os.path.join(
+        config.data_path, f"bie_near_torus{nu}x{nv}q{q}_stokes_v1.npz")
     op.setup()
+    assert op._far_fmm is not None, \
+        "FMM far field must be active for this bench"
+    t_setup = time.perf_counter() - t_setup0
+
     X, _, _ = lst.get_node_coord()
-    src = np.array([[6.0, 0.0, 0.0]])
-    q = np.array([[1.0, -0.5, 0.8]])
+    n_unk = op.dim(0)
+    src = np.array([[6.0, 0.0, 0.0]])           # outside the domain
+    qs = np.array([[1.0, -0.5, 0.8]])
     bc = np.asarray(direct_eval_blocked(
         Stokes3D_FxU, jnp.asarray(X), jnp.asarray(src),
-        jnp.asarray(q))).reshape(-1)
-
-    def A(sig):
-        return op.compute_potential_jnp(sig).reshape(-1) - 0.5 * sig
+        jnp.asarray(qs))).reshape(-1)
 
     tol = 1e-6
-    solve = jax.jit(lambda b: gmres_device(A, b, tol=tol, max_iter=60))
-    x, it, err = solve(jnp.asarray(bc))
+    params = op.apply_params()
+
+    @jax.jit
+    def solve(b, params):
+        def A(sig):
+            return (op.compute_potential_jnp(sig, params).reshape(-1)
+                    - 0.5 * sig)
+        return gmres_device(A, b, tol=tol, max_iter=120)
+
+    x, it, err = solve(jnp.asarray(bc), params)
     float(jnp.sum(x))                                # compile + warm
     times = []
     for rep in range(iters):
         b2 = jnp.asarray(bc) * (1.0 + 1e-6 * (rep + 1))
         float(jnp.sum(b2))
         t0 = time.perf_counter()
-        x2, it2, err2 = solve(b2)
+        x2, it2, err2 = solve(b2, params)
         float(jnp.sum(x2)) + float(err2)             # fenced readback
         times.append(time.perf_counter() - t0)
     dt_dev = sorted(times)[len(times) // 2]
+    rel_res = float(err) / float(np.linalg.norm(bc))
 
+    # independent accuracy check: interior velocities from the solved
+    # density (smooth far-quadrature eval; the check ring sits at
+    # minor radius 0.15, ~0.35 from the surface >> dist_far)
+    sigma = np.asarray(x).reshape(-1, 3)
+    th = np.linspace(0, 2 * np.pi, 17)[:-1]
+    xt_int = np.stack([(R + 0.15 * np.cos(7 * th)) * np.cos(th),
+                       (R + 0.15 * np.cos(7 * th)) * np.sin(th),
+                       0.15 * np.sin(7 * th)], 1)
+    Ff = lst.get_far_field_density(sigma) * op.wf[:, None]
+    u_num = np.asarray(direct_eval_blocked(
+        Stokes3D_DxU, jnp.asarray(xt_int), jnp.asarray(op.Xf),
+        jnp.asarray(Ff), ns=jnp.asarray(op.Xnf)))
+    u_exact = np.asarray(direct_eval_blocked(
+        Stokes3D_FxU, jnp.asarray(xt_int), jnp.asarray(src),
+        jnp.asarray(qs)))
+    acc = float(np.abs(u_num - u_exact).max()
+                / np.abs(u_exact).max())
+
+    # host-loop GMRES baseline on the same operator (vs_baseline)
+    apply_jit = jax.jit(
+        lambda s, p: op.compute_potential_jnp(s, p).reshape(-1)
+        - 0.5 * s)
     t0 = time.perf_counter()
-    x_h, it_h = gmres(A, jnp.asarray(bc) * (1 + 5e-7), tol=tol,
-                      max_iter=60)
+    x_h, it_h = gmres(lambda s: apply_jit(s, params),
+                      jnp.asarray(bc) * (1 + 5e-7), tol=tol,
+                      max_iter=120)
     float(jnp.sum(x_h))
     dt_host = time.perf_counter() - t0
 
-    rel_res = float(err) / float(jnp.linalg.norm(jnp.asarray(bc)))
     return {
-        "metric": "stokes_bie_gmres_wallclock_torus",
-        "value": round(dt_dev, 4),
+        "metric": "stokes_bie_gmres_wallclock_torus_1e5unk",
+        "value": round(dt_dev, 3),
         "unit": "s",
         "vs_baseline": round(dt_host / dt_dev, 3),
-        "n_unknowns": int(bc.size),
+        "baseline": "host-loop GMRES, same operator, same chip",
+        "n_unknowns": int(n_unk),
+        "far_nodes": int(len(op.Xf)),
+        "fmm_far_field": True,
         "iterations": int(it),
         "rel_residual": float(f"{rel_res:.3e}"),
+        "interior_rel_err_vs_exact": float(f"{acc:.3e}"),
+        "setup_s": round(t_setup, 1),
         "note": "f32 chip pipeline; 1e-10 anchor on f64 CPU path",
     }
 
 
 def main():
-    # persistent executable cache: the depth-6 KIFMM program compiles
-    # ~100 s cold; cached runs skip it (harmless no-op if the backend
-    # does not support serialization)
+    # persistent executable cache: the big programs compile minutes
+    # cold; cached runs skip it (harmless no-op if the backend does
+    # not support serialization)
     from sctl_tpu.config import enable_compile_cache
     enable_compile_cache()
     try:
-        print(json.dumps(bench_bie()))
+        print(json.dumps(bench_bie()), flush=True)
     except Exception as e:                            # never mask line 1
-        print(json.dumps({"metric": "stokes_bie_gmres_wallclock_torus",
-                          "error": repr(e)[:200]}))
+        print(json.dumps({
+            "metric": "stokes_bie_gmres_wallclock_torus_1e5unk",
+            "error": repr(e)[:200]}), flush=True)
     pts_per_s = bench_fmm()
-    baseline_pts_per_s = 1e7      # est. 64-core x86 node (see docstring)
+    baseline_pts_per_s = 1e7      # est. 64-core x86 node running a
+    # PVFMM-class CPU FMM at the same size/accuracy (the reference
+    # publishes no numbers of its own, BASELINE.md; north star >=5x)
     print(json.dumps({
         "metric": "laplace_kifmm_points_per_sec_per_chip_1e7",
         "value": round(pts_per_s / 1e6, 2),
         "unit": "Mpts/s",
         "vs_baseline": round(pts_per_s / baseline_pts_per_s, 3),
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -142,6 +142,10 @@ class BoundaryIntegralOp:
         # nodes (reference cutoff: fmm-wrapper.txx:798); settable.
         from ..fmm.fmm import DIRECT_CUTOFF
         self.far_fmm_cutoff = DIRECT_CUTOFF
+        # optional .npz path caching the near-setup precompute
+        # (near pairs + corrected operators), keyed by a geometry/
+        # config fingerprint
+        self.near_cache: Optional[str] = None
 
     def set_accuracy(self, tol: float):
         self.tol = tol
@@ -232,14 +236,65 @@ class BoundaryIntegralOp:
 
         # SetupNear: near pairs (target, element) where the target is
         # closer than dist_far to any far-field node of the element
-        # (reference: BuildNearList, boundary_integral.txx:46)
-        self._build_near_list()
-
-        # Self + Near corrected operators
-        self._build_near_matrices()
+        # (reference: BuildNearList, boundary_integral.txx:46), then
+        # the corrected near operators — the expensive host
+        # precompute, disk-cached when `near_cache` was set (the
+        # reference's SCTL_DATA_PATH cached-tables discipline)
+        loaded = (self.near_cache is not None
+                  and self._load_near_cache(self.near_cache))
+        if not loaded:
+            self._build_near_list()
+            self._build_near_matrices()
+            if self.near_cache is not None:
+                self._save_near_cache(self.near_cache)
         self._setup_device_apply()
         self._setup_done = True
         return self
+
+    # -- near-setup disk cache -------------------------------------------
+    def _near_key(self) -> str:
+        """Geometry/config fingerprint guarding the near cache."""
+        import hashlib
+        h = hashlib.md5()
+        for a in (self.X, self.Xt_eff, self.Xf, self.wf, self.df):
+            h.update(np.ascontiguousarray(a).tobytes())
+        h.update(f"{self.kernel.name}:{self.tol:.6g}:v1".encode())
+        return h.hexdigest()
+
+    def _save_near_cache(self, path):
+        import os
+        try:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            k1 = self.kernel.kdim1
+            rows = np.asarray([m.shape[0] for m in self._near_mats],
+                              np.int64)
+            blob = (np.concatenate([m.reshape(-1, k1)
+                                    for m in self._near_mats])
+                    if len(self._near_mats) else np.zeros((0, k1)))
+            np.savez(path, key=np.asarray(self._near_key()),
+                     pairs=np.asarray(self.near_pairs,
+                                      np.int64).reshape(-1, 2),
+                     rows=rows, blob=blob)
+        except OSError:
+            pass
+
+    def _load_near_cache(self, path) -> bool:
+        import os
+        if not os.path.exists(path):
+            return False
+        try:
+            z = np.load(path)
+            if str(z["key"]) != self._near_key():
+                return False
+            rows = z["rows"]
+            dsp = np.concatenate([[0], np.cumsum(rows)])
+            blob = z["blob"]
+            self.near_pairs = [(int(a), int(b)) for a, b in z["pairs"]]
+            self._near_mats = [blob[dsp[i]:dsp[i + 1]]
+                               for i in range(len(rows))]
+            return True
+        except Exception:
+            return False
 
     def _build_near_list(self):
         """Near pairs (target, element) via a Morton-box grid search
@@ -420,12 +475,26 @@ class BoundaryIntegralOp:
         self._apply_jit = None
 
     # -- evaluation (reference: boundary_integral.txx:608-613) ------------
-    def compute_potential_jnp(self, sigma) -> jnp.ndarray:
+    def apply_params(self):
+        """Pytree of the device tables compute_potential_jnp reads.
+        Pass it through your jit as an ARGUMENT (closure constants
+        embed the whole setup — interp matrices, FMM point arrays —
+        into the compile payload; at 1e5-unknown scale that is
+        hundreds of MB and minutes of compile)."""
+        self.setup()
+        p = {"dev": self._dev}
+        if self._far_fmm is not None:
+            p["fmm"] = self._far_fmm.eval_params()
+        return p
+
+    def compute_potential_jnp(self, sigma, params=None) -> jnp.ndarray:
         """Traced operator application: sigma (N*k0,) or (N, k0) jnp ->
         (Nt, k1) jnp, fully device-resident (far field + batched near
         GEMM + scatter-add)."""
         ker = self.kernel
-        dev = self._dev
+        if params is None:
+            params = self.apply_params()
+        dev = params["dev"]
         dt = dev["Xt"].dtype
         sigma = jnp.asarray(sigma, dt).reshape(-1, ker.kdim0)
         # far density: batched per-element interp (MXU)
@@ -436,7 +505,7 @@ class BoundaryIntegralOp:
             (Ffar_e * dev["fval"][..., None]).reshape(-1, ker.kdim0))
         Ff = Ff * dev["wf"][:, None]
         if self._far_fmm is not None:
-            U = self._far_fmm.eval_jnp(Ff)
+            U = self._far_fmm.eval_jnp(Ff, params.get("fmm"))
         else:
             U = direct_eval_blocked(
                 ker, dev["Xt"], dev["Xf"], Ff, ns=dev["Xnf"],
@@ -453,9 +522,11 @@ class BoundaryIntegralOp:
         with profile.Profile.scoped("BIO::ComputePotential"):
             if self._apply_jit is None:
                 import jax
-                self._apply_jit = jax.jit(self.compute_potential_jnp)
-            return np.asarray(self._apply_jit(jnp.asarray(
-                np.asarray(sigma, np.float64))))
+                self._apply_jit = jax.jit(
+                    lambda s, p: self.compute_potential_jnp(s, p))
+            return np.asarray(self._apply_jit(
+                jnp.asarray(np.asarray(sigma, np.float64)),
+                self.apply_params()))
 
     # -- distributed apply (reference: the sharded ComputePotential
     # pipeline, boundary_integral.txx:1016-1142: far eval + near GEMMs

@@ -273,6 +273,13 @@ class ParametricPatchList(ElementListBase):
         # pairs (its terminal-cell truncation), so it is NOT used as
         # a singular fallback.  Orders: 16 down to tol 1e-7, 24 below.
         order_hi, order_lo = (16, 12) if tol >= 1e-7 else (24, 18)
+        # chunk pairs with SIMILAR shell counts together: the batch
+        # rule pads every pair of a chunk to the chunk-max shell
+        # count, and K grows as adapt shrinks — sorting by (clamped)
+        # adapt descending keeps padding ~tight (self pairs, whose
+        # sub-1e-7 adapt is dropped, chunk together at the smallest K)
+        kkey = np.where(adapt[didx] < 1e-7, 1.0, adapt[didx])
+        didx = didx[np.argsort(-kkey, kind="stable")]
         for c0 in range(0, len(didx), 512):
             sel = didx[c0:c0 + 512]
             hi = _duffy_eval(sel, order_hi)

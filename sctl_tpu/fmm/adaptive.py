@@ -457,6 +457,7 @@ class AdaptiveFMM:
             pad, _ = _pad_rows(w_leaf[msk], w_node[msk], n_leaf)
             wl.append(jnp.asarray(pad, jnp.int32))
         self._wlist = wl
+        data["wlist_t"] = tuple(wl)
 
         # X list: per (level, node), padded source-leaf ids
         xl = []
@@ -468,6 +469,7 @@ class AdaptiveFMM:
             pad, _ = _pad_rows(x_node[msk], x_leaf[msk], nodes.n[l])
             xl.append(jnp.asarray(pad, jnp.int32))
         self._xlist = xl
+        data["xlist_t"] = tuple(xl)
 
         # per (level, octant) child/parent row groups for M2M/L2L
         oct_groups = []
@@ -517,20 +519,38 @@ class AdaptiveFMM:
         out[self._t_perm] = u
         return out
 
-    def eval_jnp(self, f) -> jnp.ndarray:
-        """Traced: f (n_src, k0) original order -> (n_trg, k1)."""
+    def eval_params(self):
+        """Pytree of every device array eval_jnp needs, meant to
+        travel as a jit ARGUMENT — embedding them as closure
+        constants bloats the compile payload by the full point set
+        (the same discipline as KIFMM setup's _data)."""
+        if getattr(self, "_io_idx", None) is None:
+            self._io_idx = {
+                "perm": jnp.asarray(self.tree.perm, jnp.int32),
+                "sidx": jnp.asarray(self._sidx_np, jnp.int32),
+                "svalid": jnp.asarray(self._svalid_np, self.dtype),
+                "t_perm": jnp.asarray(self._t_perm, jnp.int32),
+                "t_take": jnp.asarray(np.nonzero(
+                    self._tvalid_np.reshape(-1))[0], jnp.int32),
+            }
+        return {"data": self._data, "io": self._io_idx}
+
+    def eval_jnp(self, f, params=None) -> jnp.ndarray:
+        """Traced: f (n_src, k0) original order -> (n_trg, k1).
+        Pass `params=eval_params()` through your jit arguments to
+        keep the tables out of the compile payload."""
+        if params is None:
+            params = self.eval_params()
+        data, io = params["data"], params["io"]
         k0 = self.ker_s2t.kdim0
         f = jnp.asarray(f, self.dtype).reshape(-1, k0)
-        fs = f[jnp.asarray(self.tree.perm)]
-        fp = fs[jnp.asarray(self._sidx_np)] \
-            * jnp.asarray(self._svalid_np)[..., None]
-        u_pad = self._eval_impl(fp, self._data)
+        fs = f[io["perm"]]
+        fp = fs[io["sidx"]] * io["svalid"][..., None]
+        u_pad = self._eval_impl(fp, data)
         k1 = self.ker_l2t.kdim1
         u_flat = u_pad.reshape(-1, k1)
-        take = jnp.asarray(np.nonzero(
-            self._tvalid_np.reshape(-1))[0], jnp.int32)
         out = jnp.zeros((len(self._t_perm), k1), u_flat.dtype)
-        return out.at[jnp.asarray(self._t_perm)].set(u_flat[take])
+        return out.at[io["t_perm"]].set(u_flat[io["t_take"]])
 
     # -- evaluation -------------------------------------------------------
     def _eval_impl(self, fp, data, shard=None):
@@ -604,7 +624,7 @@ class AdaptiveFMM:
                 rows, par = data["oct_groups"][l - 1][c]
                 if rows.shape[0] == 0:
                     continue
-                mat = jnp.asarray(self._ops.m2m[l - 1][c], dt)
+                mat = data["m2m"][l - 1][c]
                 q_up[l - 1] = q_up[l - 1].at[par].add(
                     jnp.einsum("bn,mn->bm", q_up[l][rows], mat,
                                precision=hi))
@@ -640,7 +660,7 @@ class AdaptiveFMM:
         # the replicated V contribution)
         qx = {}
         for l in range(1, L + 1):
-            xl = self._xlist[l - 1]
+            xl = data["xlist_t"][l - 1]
             if xl is None:
                 continue
             K = xl.shape[1]
@@ -681,7 +701,7 @@ class AdaptiveFMM:
                 rows, par = data["oct_groups"][l - 1][c]
                 if rows.shape[0] == 0:
                     continue
-                mat = jnp.asarray(self._ops.l2l[l - 1][c], dt)
+                mat = data["l2l"][l - 1][c]
                 q_dn[l] = q_dn[l].at[rows].add(
                     jnp.einsum("bn,mn->bm", q_dn[l - 1][par], mat,
                                precision=hi))
@@ -716,7 +736,7 @@ class AdaptiveFMM:
 
         # W: finer-node multipoles -> targets (source level l)
         for l in range(1, L + 1):
-            wl = self._wlist[l - 1]
+            wl = data["wlist_t"][l - 1]
             if wl is None:
                 continue
             K = wl.shape[1]

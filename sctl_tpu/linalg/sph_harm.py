@@ -78,15 +78,17 @@ def _legendre_tables(p: int, nt: int):
     for m in range(1, p + 1):
         P[m, m] = -np.sqrt((2 * m + 1) / (2.0 * m)) * st * P[m - 1,
                                                              m - 1]
-    # upward in l
-    for m in range(p + 1):
-        if m + 1 <= p:
-            P[m, m + 1] = np.sqrt(2 * m + 3.0) * ct * P[m, m]
-        for l in range(m + 2, p + 1):
-            a = np.sqrt((4.0 * l * l - 1) / (l * l - m * m))
-            b = np.sqrt(((l - 1.0) ** 2 - m * m) / (4.0 * (l - 1.0) ** 2
-                                                    - 1))
-            P[m, l] = a * (ct * P[m, l - 1] - b * P[m, l - 2])
+    # upward in l, VECTOR over m (O(p) numpy calls, not O(p^2) —
+    # the reference reaches SCTL_SHMAXDEG = 1024, sph_harm.hpp:13)
+    for l in range(1, p + 1):
+        m2 = np.arange(0, l - 1)
+        if len(m2):
+            a = np.sqrt((4.0 * l * l - 1) / (l * l - m2 * m2))
+            b = np.sqrt(((l - 1.0) ** 2 - m2 * m2)
+                        / (4.0 * (l - 1.0) ** 2 - 1))
+            P[m2, l] = a[:, None] * (ct[None] * P[m2, l - 1]
+                                     - b[:, None] * P[m2, l - 2])
+        P[l - 1, l] = np.sqrt(2 * l + 1.0) * ct * P[l - 1, l - 1]
     return P, theta, w
 
 
@@ -104,8 +106,49 @@ class SphericalHarmonics:
         self._P = jnp.asarray(P)
         self.theta = theta
         self._w = jnp.asarray(w)
-        # pole-safe derivative + csc tables for the vector transforms
-        ct, st = np.cos(theta), np.sin(theta)
+        # static pack/unpack index maps: packed slot k <-> flattened
+        # (cos|sin, m, l) slot of the rectangular (2, p+1, p+1) stack.
+        # All transforms are single batched einsums over the stacked
+        # per-m Legendre blocks + one static gather — trace size O(1)
+        # in p (the reference serves p up to SCTL_SHMAXDEG = 1024 via
+        # cached matrices, sph_harm.hpp:13, 207-258; a per-m Python
+        # loop would emit O(p) HLO ops and cap practical degree).
+        li, mi, si = _packed_index(p)
+        dim = (p + 1) ** 2
+        flat = (si * (p + 1) + mi) * (p + 1) + li
+        self._pk_gather = jnp.asarray(flat, jnp.int32)
+        inv = np.full(2 * dim, dim, np.int64)      # dim -> zero pad
+        inv[flat] = np.arange(dim)
+        self._pk_scatter = jnp.asarray(inv, jnp.int32)
+        # analysis/synthesis m-scalings of the real packed basis
+        csc = np.full(p + 1, np.sqrt(2.0))
+        csc[0] = 1.0
+        ssc = np.full(p + 1, np.sqrt(2.0))
+        ssc[0] = 0.0                               # no sin(0*phi) term
+        self._an_c, self._an_s = csc[:, None], ssc[:, None]
+        self._sy_c = (csc * self.np_ / 2)[:, None]
+        self._sy_c[0, 0] = self.np_
+        self._sy_s = (ssc * self.np_ / 2)[:, None]
+        self._dPQ = None           # lazy: vector transforms only
+
+    @property
+    def _dP(self):
+        self._build_dpq()
+        return self._dPQ[0]
+
+    @property
+    def _Q(self):
+        self._build_dpq()
+        return self._dPQ[1]
+
+    def _build_dpq(self):
+        """Pole-safe derivative + csc tables for the vector
+        transforms — built lazily so scalar transforms at high degree
+        don't pay the O(p^2) host loops or the device memory."""
+        if self._dPQ is not None:
+            return
+        p = self.p
+        ct, st = np.cos(self.theta), np.sin(self.theta)
         Pt, dPt, Qt = _legendre_trio(p, ct, st, np)
         dPa = np.zeros((p + 1, p + 1, self.nt))
         Qa = np.zeros((p + 1, p + 1, self.nt))
@@ -114,8 +157,7 @@ class SphericalHarmonics:
                 dPa[m, l] = dPt[m][l]
                 if m >= 1:
                     Qa[m, l] = Qt[m][l]
-        self._dP = jnp.asarray(dPa)
-        self._Q = jnp.asarray(Qa)
+        self._dPQ = (jnp.asarray(dPa), jnp.asarray(Qa))
 
     # -- grid <-> coefficients -------------------------------------------
     # Real orthonormal basis: Y_l0 = P[0,l];
@@ -126,47 +168,28 @@ class SphericalHarmonics:
         weighted Legendre GEMM per order m."""
         p, np_ = self.p, self.np_
         f = jnp.asarray(f)
-        fm = jnp.fft.rfft(f, axis=-1) * (2 * np.pi / np_)  # (.., nt, nf)
-        sq2 = np.sqrt(2.0)
-        cs, ss = [], []
-        for m in range(p + 1):
-            Pw = self._P[m] * self._w[None, :]       # (p+1, nt)
-            re = jnp.einsum("ln,...n->...l", Pw, fm[..., :, m].real)
-            im = jnp.einsum("ln,...n->...l", Pw, -fm[..., :, m].imag)
-            if m == 0:
-                cs.append(re)
-                ss.append(jnp.zeros_like(im))
-            else:
-                cs.append(sq2 * re)
-                ss.append(sq2 * im)
-        packed = []
-        for l in range(p + 1):
-            packed.append(cs[0][..., l][..., None])
-            for m in range(1, l + 1):
-                packed.append(cs[m][..., l][..., None])
-                packed.append(ss[m][..., l][..., None])
-        return jnp.concatenate(packed, axis=-1)
+        fm = jnp.fft.rfft(f, axis=-1)[..., :p + 1] \
+            * (2 * np.pi / np_)                      # (.., nt, p+1)
+        Pw = self._P * self._w[None, None, :]        # (m, l, nt)
+        c = jnp.einsum("mln,...nm->...ml", Pw, fm.real) \
+            * jnp.asarray(self._an_c, f.dtype)
+        s = jnp.einsum("mln,...nm->...ml", Pw, -fm.imag) \
+            * jnp.asarray(self._an_s, f.dtype)
+        return self._pack(c, s)
 
     def shc2grid(self, shc) -> jnp.ndarray:
         """(.., (p+1)^2) -> (.., nt, np_) synthesis
         (reference: SHC2Grid, sph_harm.txx:300-312)."""
-        p, nt, np_ = self.p, self.nt, self.np_
+        p, np_ = self.p, self.np_
         shc = jnp.asarray(shc)
         c, s = self._unpack(shc)                    # (.., m, l)
         nf = np_ // 2 + 1
-        batch = shc.shape[:-1]
-        cdtype = jnp.complex128 if shc.dtype == jnp.float64 \
-            else jnp.complex64
-        fm = jnp.zeros(batch + (nt, nf), dtype=cdtype)
-        sq2 = np.sqrt(2.0)
-        for m in range(p + 1):
-            A = jnp.einsum("ln,...l->...n", self._P[m], c[..., m, :])
-            B = jnp.einsum("ln,...l->...n", self._P[m], s[..., m, :])
-            if m == 0:
-                fm = fm.at[..., :, 0].set((np_ * A).astype(cdtype))
-            else:
-                fm = fm.at[..., :, m].set(
-                    (np_ / 2.0) * sq2 * (A - 1j * B))
+        A = jnp.einsum("mln,...ml->...nm", self._P,
+                       c * jnp.asarray(self._sy_c, shc.dtype))
+        B = jnp.einsum("mln,...ml->...nm", self._P,
+                       s * jnp.asarray(self._sy_s, shc.dtype))
+        fm = jnp.pad(A - 1j * B,
+                     [(0, 0)] * (A.ndim - 1) + [(0, nf - (p + 1))])
         return jnp.fft.irfft(fm, n=np_, axis=-1)
 
     def shc2grid_grad(self, shc):
@@ -176,31 +199,19 @@ class SphericalHarmonics:
         sph_harm.hpp:64-67, SHC2Grid_ sph_harm.txx:2221 — theta via
         the MatLegendreGrad tables, phi as the im-scaled Fourier
         synthesis)."""
-        p, nt, np_ = self.p, self.nt, self.np_
+        p, np_ = self.p, self.np_
         shc = jnp.asarray(shc)
         c, s = self._unpack(shc)
         nf = np_ // 2 + 1
-        batch = shc.shape[:-1]
-        cdtype = jnp.complex128 if shc.dtype == jnp.float64 \
-            else jnp.complex64
-        fm = jnp.zeros(batch + (nt, nf), dtype=cdtype)
-        fmt = jnp.zeros(batch + (nt, nf), dtype=cdtype)
-        sq2 = np.sqrt(2.0)
-        for m in range(p + 1):
-            A = jnp.einsum("ln,...l->...n", self._P[m], c[..., m, :])
-            B = jnp.einsum("ln,...l->...n", self._P[m], s[..., m, :])
-            At = jnp.einsum("ln,...l->...n", self._dP[m],
-                            c[..., m, :])
-            Bt = jnp.einsum("ln,...l->...n", self._dP[m],
-                            s[..., m, :])
-            if m == 0:
-                fm = fm.at[..., :, 0].set((np_ * A).astype(cdtype))
-                fmt = fmt.at[..., :, 0].set((np_ * At).astype(cdtype))
-            else:
-                fm = fm.at[..., :, m].set(
-                    (np_ / 2.0) * sq2 * (A - 1j * B))
-                fmt = fmt.at[..., :, m].set(
-                    (np_ / 2.0) * sq2 * (At - 1j * Bt))
+        cw = c * jnp.asarray(self._sy_c, shc.dtype)
+        sw = s * jnp.asarray(self._sy_s, shc.dtype)
+        pad = [(0, 0)] * shc.ndim + [(0, nf - (p + 1))]
+        A = jnp.einsum("mln,...ml->...nm", self._P, cw)
+        B = jnp.einsum("mln,...ml->...nm", self._P, sw)
+        At = jnp.einsum("mln,...ml->...nm", self._dP, cw)
+        Bt = jnp.einsum("mln,...ml->...nm", self._dP, sw)
+        fm = jnp.pad(A - 1j * B, pad)
+        fmt = jnp.pad(At - 1j * Bt, pad)
         X = jnp.fft.irfft(fm, n=np_, axis=-1)
         X_theta = jnp.fft.irfft(fmt, n=np_, axis=-1)
         mm = jnp.arange(nf)
@@ -280,31 +291,22 @@ class SphericalHarmonics:
         return data
 
     def _unpack(self, shc):
-        """packed -> (c[.., m, l], s[.., m, l]) with zeros for l<m."""
+        """packed -> (c[.., m, l], s[.., m, l]) with zeros for l<m —
+        one static gather (trace size O(1) in p)."""
         p = self.p
         batch = shc.shape[:-1]
-        c = jnp.zeros(batch + (p + 1, p + 1), dtype=shc.dtype)
-        s = jnp.zeros(batch + (p + 1, p + 1), dtype=shc.dtype)
-        i = 0
-        for l in range(p + 1):
-            c = c.at[..., 0, l].set(shc[..., i])
-            i += 1
-            for m in range(1, l + 1):
-                c = c.at[..., m, l].set(shc[..., i])
-                s = s.at[..., m, l].set(shc[..., i + 1])
-                i += 2
-        return c, s
+        z = jnp.zeros(batch + (1,), dtype=shc.dtype)
+        cs = jnp.concatenate([shc, z], axis=-1)[..., self._pk_scatter]
+        cs = cs.reshape(batch + (2, p + 1, p + 1))
+        return cs[..., 0, :, :], cs[..., 1, :, :]
 
     def _pack(self, c, s):
-        """(c[.., m, l], s[.., m, l]) -> packed (.., (p+1)^2)."""
+        """(c[.., m, l], s[.., m, l]) -> packed (.., (p+1)^2) — one
+        static gather."""
         p = self.p
-        packed = []
-        for l in range(p + 1):
-            packed.append(c[..., 0, l][..., None])
-            for m in range(1, l + 1):
-                packed.append(c[..., m, l][..., None])
-                packed.append(s[..., m, l][..., None])
-        return jnp.concatenate(packed, axis=-1)
+        batch = c.shape[:-2]
+        cs = jnp.stack([c, s], axis=-3).reshape(batch + (-1,))
+        return cs[..., self._pk_gather]
 
     # -- vector transforms -------------------------------------------------
     def grid2vecshc(self, F) -> jnp.ndarray:
@@ -334,25 +336,24 @@ class SphericalHarmonics:
 
         y = self.grid2shc(f_r)                     # (.., M)
 
-        fmt = jnp.fft.rfft(f_t, axis=-1) * (2 * np.pi / np_)
-        fmp = jnp.fft.rfft(f_p, axis=-1) * (2 * np.pi / np_)
-        sq2 = np.sqrt(2.0)
-        gc, gs, xc, xs = [], [], [], []
-        for m in range(p + 1):
-            dPw = self._dP[m] * self._w[None, :]   # (p+1, nt)
-            Qw = self._Q[m] * self._w[None, :]
-            Ct = fmt[..., :, m].real
-            St = -fmt[..., :, m].imag
-            Cp = fmp[..., :, m].real
-            Sp = -fmp[..., :, m].imag
-            sq = 1.0 if m == 0 else sq2
-            E = lambda M_, v: jnp.einsum("ln,...n->...l", M_, v)  # noqa
-            gc.append(sq * (E(dPw, Ct) - m * E(Qw, Sp)))
-            gs.append(sq * (E(dPw, St) + m * E(Qw, Cp)))
-            xc.append(sq * (m * E(Qw, St) + E(dPw, Cp)))
-            xs.append(sq * (-m * E(Qw, Ct) + E(dPw, Sp)))
-        gc, gs = jnp.stack(gc, -2), jnp.stack(gs, -2)   # (.., m, l)
-        xc, xs = jnp.stack(xc, -2), jnp.stack(xs, -2)
+        fmt = jnp.fft.rfft(f_t, axis=-1)[..., :p + 1] \
+            * (2 * np.pi / np_)                    # (.., nt, m)
+        fmp = jnp.fft.rfft(f_p, axis=-1)[..., :p + 1] \
+            * (2 * np.pi / np_)
+        dPw = self._dP * self._w[None, None, :]    # (m, l, nt)
+        Qw = self._Q * self._w[None, None, :]
+        Ct, St = fmt.real, -fmt.imag
+        Cp, Sp = fmp.real, -fmp.imag
+        mv = jnp.arange(p + 1, dtype=F.dtype)[:, None]   # (m, 1)
+        an = jnp.asarray(self._an_c, F.dtype)            # (m, 1)
+
+        def E(M_, v):
+            return jnp.einsum("mln,...nm->...ml", M_, v)
+
+        gc = an * (E(dPw, Ct) - mv * E(Qw, Sp))    # (.., m, l)
+        gs = an * (E(dPw, St) + mv * E(Qw, Cp))
+        xc = an * (mv * E(Qw, St) + E(dPw, Cp))
+        xs = an * (-mv * E(Qw, Ct) + E(dPw, Sp))
         ll = jnp.asarray(np.arange(p + 1, dtype=np.float64))
         inv = 1.0 / jnp.where(ll > 0, ll * (ll + 1), 1.0)
         g = self._pack(gc * inv, gs * inv)         # (.., M)
@@ -379,27 +380,21 @@ class SphericalHarmonics:
 
         gc, gs = self._unpack(v + w)               # (.., m, l)
         xc, xs = self._unpack(x)
-        sq2 = np.sqrt(2.0)
-        batch = S.shape[:-2]
-        cdtype = jnp.complex128 if S.dtype == jnp.float64 \
-            else jnp.complex64
         nf = np_ // 2 + 1
-        fmt = jnp.zeros(batch + (nt, nf), dtype=cdtype)
-        fmp = jnp.zeros(batch + (nt, nf), dtype=cdtype)
-        for m in range(p + 1):
-            dP, Q = self._dP[m], self._Q[m]        # (p+1, nt)
-            E = lambda M_, c: jnp.einsum("ln,...l->...n", M_, c)  # noqa
-            sq = 1.0 if m == 0 else sq2
-            At = sq * (E(dP, gc[..., m, :]) - m * E(Q, xs[..., m, :]))
-            Bt = sq * (E(dP, gs[..., m, :]) + m * E(Q, xc[..., m, :]))
-            Ap = sq * (m * E(Q, gs[..., m, :]) + E(dP, xc[..., m, :]))
-            Bp = sq * (-m * E(Q, gc[..., m, :]) + E(dP, xs[..., m, :]))
-            if m == 0:
-                fmt = fmt.at[..., :, 0].set((np_ * At).astype(cdtype))
-                fmp = fmp.at[..., :, 0].set((np_ * Ap).astype(cdtype))
-            else:
-                fmt = fmt.at[..., :, m].set((np_ / 2.0) * (At - 1j * Bt))
-                fmp = fmp.at[..., :, m].set((np_ / 2.0) * (Ap - 1j * Bp))
+        mv = jnp.arange(p + 1, dtype=S.dtype)[None, :]   # (1, m): the
+        # m-factor lands on the OUTPUT column axis of the einsums
+        sy = jnp.asarray(self._sy_c[:, 0], S.dtype)[None, :]
+
+        def E(M_, c):
+            return jnp.einsum("mln,...ml->...nm", M_, c)
+
+        At = E(self._dP, gc) - mv * E(self._Q, xs)   # (.., nt, m)
+        Bt = E(self._dP, gs) + mv * E(self._Q, xc)
+        Ap = mv * E(self._Q, gs) + E(self._dP, xc)
+        Bp = -mv * E(self._Q, gc) + E(self._dP, xs)
+        pad = [(0, 0)] * (At.ndim - 1) + [(0, nf - (p + 1))]
+        fmt = jnp.pad(sy * (At - 1j * Bt), pad)
+        fmp = jnp.pad(sy * (Ap - 1j * Bp), pad)
         f_t = jnp.fft.irfft(fmt, n=np_, axis=-1)
         f_p = jnp.fft.irfft(fmp, n=np_, axis=-1)
 
@@ -431,17 +426,12 @@ class SphericalHarmonics:
         phi = np.asarray(phi)
         c, s = map(np.asarray, self._unpack(jnp.asarray(shc)))
         P = _legendre_at(p, np.cos(theta))          # (p+1, p+1, M)
-        sq2 = np.sqrt(2.0)
-        out = 0.0
-        for m in range(p + 1):
-            gm = np.einsum("lM,l->M", P[m], c[m])
-            hm = np.einsum("lM,l->M", P[m], s[m])
-            if m == 0:
-                out = out + gm
-            else:
-                out = out + sq2 * (gm * np.cos(m * phi)
-                                   + hm * np.sin(m * phi))
-        return out
+        gm = np.einsum("mlM,ml->mM", P, c)
+        hm = np.einsum("mlM,ml->mM", P, s)
+        mv = np.arange(p + 1)[:, None]
+        an = np.asarray(self._an_c)                 # (m, 1): 1, sq2..
+        return (an * (gm * np.cos(mv * phi[None])
+                      + hm * np.sin(mv * phi[None]))).sum(0)
 
 
 # -- vector spherical harmonics + Stokes sphere layer potentials --------
