@@ -96,7 +96,13 @@ def gmres(A: Callable, b, tol: float = 1e-10,
     N = b.shape[0]
     dtype = b.dtype
     if max_iter is None:
-        max_iter = int(N)
+        # The reference defaults to unrestarted full GMRES (max_iter =
+        # N, lin-solve.txx:249) but its basis grows incrementally; here
+        # the basis is preallocated (max_iter+1, N), so an uncapped
+        # default would allocate O(N^2) for large systems.  Cap at 500
+        # (far beyond any test's iteration count); pass max_iter
+        # explicitly to raise it.
+        max_iter = min(int(N), 500)
     max_iter = min(max_iter, int(N))
 
     precond = krylov_precond
@@ -205,10 +211,69 @@ def _append_krylov(precond: KrylovPrecond, Q, H, cs, sn, k: int, dtype):
     precond.append(Qt, U)
 
 
+def _pair_device(Q, H, cs, sn, k, m, dtype):
+    """Device-side (Qt (N, m), U (m, N)) recycling pair from one
+    GMRES(m) cycle's basis — the traced form of `_append_krylov`
+    (reference: lin-solve.txx:213-246).  Columns/rows >= k are zeroed
+    (inert under the flat apply y + (y @ Qt) @ U)."""
+    from jax import lax
+
+    i = jnp.arange(m)
+    j1 = jnp.arange(m + 1)
+    M = (i[:, None] == j1[None, :]).astype(dtype)      # (m, m+1)
+
+    def rotj(j, M):
+        do = j < k - 1
+        a = jnp.take(M, j, axis=0)
+        bj = jnp.take(M, j + 1, axis=0)
+        t = jnp.where(do, cs[j] * a + sn[j] * bj, a)
+        u = jnp.where(do, -sn[j] * a + cs[j] * bj, bj)
+        return M.at[j].set(t).at[j + 1].set(u)
+
+    M = lax.fori_loop(0, m - 1, rotj, M)
+    ek = (j1 == k).astype(dtype)
+    rowk = cs[k - 1] * jnp.take(M, k - 1, axis=0) + sn[k - 1] * ek
+    M = M.at[k - 1].set(rowk)
+    M = jnp.where(i[:, None] < k, M, 0.0)
+    Qt = (M @ Q).T                                     # (N, m)
+    Hm = jnp.where((i[:, None] < k) & (i[None, :] < k), H[:m, :m],
+                   jnp.eye(m, dtype=dtype))
+    HinvT = jax.scipy.linalg.solve_triangular(
+        Hm.T, jnp.eye(m, dtype=dtype), lower=True)     # Hk^{-T} block
+    U = HinvT @ Q[:m] - Qt.T
+    U = jnp.where(i[:, None] < k, U, 0.0)
+    return Qt, U
+
+
+def _apply_pair_precond(y, precond):
+    """Right-preconditioner application for a (U, Qt) pair or a stack
+    of pairs.
+
+    2-D (U (k,N), Qt (N,k)): y -> y + (y @ Qt) @ U (lin-solve.txx:50-64).
+    3-D (U (R,m,N), Qt (R,N,m)): stacked pairs from `gmres_device
+    (recycle=True)`, applied newest (highest filled slot) first —
+    zero-padded slots are inert.
+    """
+    from jax import lax
+
+    if precond is None:
+        return y
+    U_p, Qt_p = precond
+    if U_p.ndim == 2:
+        return y + (y @ Qt_p) @ U_p
+    R = U_p.shape[0]
+
+    def step(j, y):
+        s = R - 1 - j
+        return y + (y @ Qt_p[s]) @ U_p[s]
+
+    return lax.fori_loop(0, R, step, y)
+
+
 def gmres_device(A: Callable, b, tol: float = 1e-10,
                  max_iter: int = 100, x0=None,
                  use_abs_tol: bool = False, restarts: int = 1,
-                 precond=None):
+                 precond=None, recycle: bool = False):
     """Fully device-resident (restarted) GMRES: the whole iteration
     (CGS2 Arnoldi, Givens rotations, convergence test) runs inside
     lax.while_loops — zero host synchronization per iteration OR per
@@ -220,9 +285,19 @@ def gmres_device(A: Callable, b, tol: float = 1e-10,
     from the current iterate) until the residual passes tol.
     `precond` is an optional (U, Qt) pair applied as the right
     preconditioner y -> y + (y @ Qt) @ U — the device-side form of
-    KrylovPrecond.apply (reference lin-solve.txx:50-64); build it on
-    host with `gmres(..., krylov_precond=...)` and pass
-    `(kp._pairs[0][1], kp._pairs[0][0])`.
+    KrylovPrecond.apply (reference lin-solve.txx:50-64); either a
+    single 2-D pair (build on host with `gmres(...,
+    krylov_precond=...)` and pass `(kp._pairs[0][1], kp._pairs[0][0])`)
+    or the stacked 3-D (U, Qt) returned by a previous
+    `recycle=True` call.
+
+    With ``recycle=True`` the solver appends one (U, Qt) pair per
+    restart cycle *inside the device loop* — each cycle is
+    preconditioned by all previous cycles' subspaces, the device-loop
+    form of the reference's P <- P (I + U Qt) accumulation
+    (lin-solve.txx:213-246) — and returns
+    (x, iters, err, (U_stack, Qt_stack)); pass the stack back as
+    `precond` to recycle across solves.
 
     Returns (x, iters, residual_norm) as device values (iters =
     total inner iterations across cycles); jit the enclosing call.
@@ -233,63 +308,130 @@ def gmres_device(A: Callable, b, tol: float = 1e-10,
     dtype = b.dtype
     m = int(min(max_iter, N))
 
-    if precond is not None:
-        U_p, Qt_p = precond
-        apply_P = lambda y: y + (y @ Qt_p) @ U_p
-        Ap = lambda v: A(apply_P(v))
-    else:
-        apply_P = lambda y: y
-        Ap = A
-
     b_norm = jnp.sqrt(jnp.vdot(b, b))
     abs_tol = tol * jnp.where(use_abs_tol, 1.0, b_norm)
 
-    def cond(state):
-        k, _, _, _, _, beta, err = state
-        return (k < m) & (err > abs_tol)
+    cycle = _make_gmres_cycle(A, b, abs_tol, N, m, dtype)
+    x0v = jnp.zeros_like(b) if x0 is None else x0
 
-    def body(state):
-        k, Q, H, cs, sn, beta, _ = state
-        w = Ap(jnp.take(Q, k, axis=0))
-        # CGS2 (rows > k of Q are zero and contribute nothing)
-        h1 = Q @ w
-        w = w - h1 @ Q
-        h2 = Q @ w
-        w = w - h2 @ Q
-        h = h1 + h2
-        h_norm = jnp.sqrt(jnp.vdot(w, w))
-        Q2 = Q.at[k + 1].set(w / jnp.where(h_norm > 0, h_norm, 1.0))
+    if recycle:
+        return _gmres_device_recycle(cycle, abs_tol, N, m, dtype,
+                                     restarts, precond, x0v)
 
-        # hk = [h_0..h_k, h_norm] padded to m+1
-        i = jnp.arange(m + 1)
-        hk = jnp.where(i <= k, h, 0.0).at[k + 1].set(h_norm)
+    apply_P = lambda y: _apply_pair_precond(y, precond)
+    if restarts <= 1:
+        x, k, err, _ = cycle(x0v, apply_P)
+        return x, k, err
 
-        def rot(j, hk):
-            a = hk[j]
-            bj = hk[j + 1]
-            do = j < k
-            t = jnp.where(do, cs[j] * a + sn[j] * bj, a)
-            u = jnp.where(do, -sn[j] * a + cs[j] * bj, bj)
-            return hk.at[j].set(t).at[j + 1].set(u)
+    def outer_cond(st):
+        c, _, _, err = st
+        return (c < restarts) & (err > abs_tol)
 
-        hk = lax.fori_loop(0, m, rot, hk)
-        hkk = jnp.take(hk, k)
-        hk1 = jnp.take(hk, k + 1)
-        t = jnp.sqrt(hkk * hkk + hk1 * hk1)
-        tsafe = jnp.where(t > 0, t, 1.0)
-        ck = jnp.where(t > 0, hkk / tsafe, 1.0)
-        sk = jnp.where(t > 0, hk1 / tsafe, 0.0)
-        hk = hk.at[k].set(ck * hkk + sk * hk1).at[k + 1].set(0.0)
-        cs2 = cs.at[k].set(ck)
-        sn2 = sn.at[k].set(sk)
-        H2 = H.at[:, k].set(hk)
-        bk = jnp.take(beta, k)
-        beta2 = beta.at[k + 1].set(-sk * bk).at[k].set(ck * bk)
-        err = jnp.abs(jnp.take(beta2, k + 1))
-        return (k + 1, Q2, H2, cs2, sn2, beta2, err)
+    def outer_body(st):
+        c, x, total, _ = st
+        x2, k, err, _ = cycle(x, apply_P)
+        return (c + 1, x2, total + k, err)
 
-    def cycle(x):
-        """One GMRES(m) cycle from iterate x -> (x', iters, err)."""
+    binf = jnp.asarray(jnp.inf, dtype=dtype)
+    _, x, total, err = lax.while_loop(
+        outer_cond, outer_body,
+        (jnp.int32(0), x0v, jnp.int32(0), binf))
+    return x, total, err
+
+
+def _gmres_device_recycle(cycle, abs_tol, N, m, dtype, restarts,
+                          precond, x0v):
+    """Restarted device GMRES with per-cycle Krylov recycling: cycle c
+    runs right-preconditioned by the (U, Qt) pairs of cycles 0..c-1
+    (newest first) on top of the caller's base `precond`.  Pairs live
+    in fixed (restarts, ...) buffers so the outer lax.while_loop has a
+    static state shape; empty slots are zero and inert."""
+    from jax import lax
+
+    R = int(restarts)
+    Qt_buf = jnp.zeros((R, N, m), dtype=dtype)
+    U_buf = jnp.zeros((R, m, N), dtype=dtype)
+
+    def applyP(y, Qt_b, U_b):
+        def step(j, y):
+            s = R - 1 - j        # newest (highest filled) slot first
+            return y + (y @ Qt_b[s]) @ U_b[s]
+
+        y = lax.fori_loop(0, R, step, y)
+        return _apply_pair_precond(y, precond)
+
+    def outer_cond(st):
+        c, _, _, err, _, _ = st
+        return (c < R) & (err > abs_tol)
+
+    def outer_body(st):
+        c, x, total, _, Qt_b, U_b = st
+        aP = lambda y: applyP(y, Qt_b, U_b)
+        x2, k, err, (Q, H, cs, sn) = cycle(x, aP)
+        Qt, U = _pair_device(Q, H, cs, sn, k, m, dtype)
+        return (c + 1, x2, total + k, err,
+                Qt_b.at[c].set(Qt), U_b.at[c].set(U))
+
+    binf = jnp.asarray(jnp.inf, dtype=dtype)
+    _, x, total, err, Qt_buf, U_buf = lax.while_loop(
+        outer_cond, outer_body,
+        (jnp.int32(0), x0v, jnp.int32(0), binf, Qt_buf, U_buf))
+    return x, total, err, (U_buf, Qt_buf)
+
+
+def _make_gmres_cycle(A, b, abs_tol, N, m, dtype):
+    """One right-preconditioned GMRES(m) cycle as a traced function
+    (x, applyP) -> (x', k, err, (Q, H, cs, sn)); the basis pieces feed
+    `_pair_device` for recycling."""
+    from jax import lax
+
+    def cycle(x, applyP):
+        Ap = lambda v: A(applyP(v))
+
+        def cond(state):
+            k, _, _, _, _, beta, err = state
+            return (k < m) & (err > abs_tol)
+
+        def body(state):
+            k, Q, H, cs, sn, beta, _ = state
+            w = Ap(jnp.take(Q, k, axis=0))
+            # CGS2 (rows > k of Q are zero and contribute nothing)
+            h1 = Q @ w
+            w = w - h1 @ Q
+            h2 = Q @ w
+            w = w - h2 @ Q
+            h = h1 + h2
+            h_norm = jnp.sqrt(jnp.vdot(w, w))
+            Q2 = Q.at[k + 1].set(w / jnp.where(h_norm > 0, h_norm, 1.0))
+
+            # hk = [h_0..h_k, h_norm] padded to m+1
+            i = jnp.arange(m + 1)
+            hk = jnp.where(i <= k, h, 0.0).at[k + 1].set(h_norm)
+
+            def rot(j, hk):
+                a = hk[j]
+                bj = hk[j + 1]
+                do = j < k
+                t = jnp.where(do, cs[j] * a + sn[j] * bj, a)
+                u = jnp.where(do, -sn[j] * a + cs[j] * bj, bj)
+                return hk.at[j].set(t).at[j + 1].set(u)
+
+            hk = lax.fori_loop(0, m, rot, hk)
+            hkk = jnp.take(hk, k)
+            hk1 = jnp.take(hk, k + 1)
+            t = jnp.sqrt(hkk * hkk + hk1 * hk1)
+            tsafe = jnp.where(t > 0, t, 1.0)
+            ck = jnp.where(t > 0, hkk / tsafe, 1.0)
+            sk = jnp.where(t > 0, hk1 / tsafe, 0.0)
+            hk = hk.at[k].set(ck * hkk + sk * hk1).at[k + 1].set(0.0)
+            cs2 = cs.at[k].set(ck)
+            sn2 = sn.at[k].set(sk)
+            H2 = H.at[:, k].set(hk)
+            bk = jnp.take(beta, k)
+            beta2 = beta.at[k + 1].set(-sk * bk).at[k].set(ck * bk)
+            err = jnp.abs(jnp.take(beta2, k + 1))
+            return (k + 1, Q2, H2, cs2, sn2, beta2, err)
+
         r = b - A(x)
         r_norm = jnp.sqrt(jnp.vdot(r, r))
         Q = jnp.zeros((m + 1, N), dtype=dtype)
@@ -310,27 +452,9 @@ def gmres_device(A: Callable, b, tol: float = 1e-10,
                        jnp.eye(m, dtype=dtype))
         rhs = jnp.where(i < k, beta[:m], 0.0)
         y = jax.scipy.linalg.solve_triangular(Hm, rhs, lower=False)
-        return x + apply_P(y @ Q[:m]), k, err
+        return x + applyP(y @ Q[:m]), k, err, (Q, H, cs, sn)
 
-    x0v = jnp.zeros_like(b) if x0 is None else x0
-    if restarts <= 1:
-        return cycle(x0v)
-
-    def outer_cond(st):
-        c, _, _, err = st
-        return (c < restarts) & (err > abs_tol)
-
-    def outer_body(st):
-        c, x, total, _ = st
-        x2, k, err = cycle(x)
-        return (c + 1, x2, total + k, err)
-
-    binf = jnp.asarray(jnp.inf, dtype=jnp.float64
-                       if dtype in (jnp.float64,) else jnp.float32)
-    _, x, total, err = lax.while_loop(
-        outer_cond, outer_body,
-        (jnp.int32(0), x0v, jnp.int32(0), binf))
-    return x, total, err
+    return cycle
 
 
 class GMRES:
