@@ -531,83 +531,13 @@ class BoundaryIntegralOp:
     # -- distributed apply (reference: the sharded ComputePotential
     # pipeline, boundary_integral.txx:1016-1142: far eval + near GEMMs
     # + ScatterForward accumulation across ranks) -------------------------
-    def sharded_apply_fn(self, comm):
-        """Build a shard_map-able operator apply over `comm`'s mesh
-        axis: rank r owns an equal slab of targets; the density is
-        allgathered once per application (the ScatterForward role —
-        data moves to where the work is), then the far field and the
-        rank's near corrections are local.
-
-        Returns (fn, Ct) where fn(sigma_local (Cs, k0)) -> U_local
-        (Ct, k1) is meant for `comm.run(fn, in_specs=P('x', None),
-        out_specs=P('x', None))`; targets are padded to p * Ct rows
-        (zero rows beyond self.dim(1) // k1).
-        """
-        self.setup()
-        ker = self.kernel
-        p = comm.size()
-        dev = self._dev
-        nt = len(self.Xt_eff)
-        Ct = -(-nt // p)
-        k0, k1 = ker.kdim0, ker.kdim1
-        dt = dev["Xt"].dtype
-
-        # pad targets and partition near pairs by owner rank
-        Xt_pad = np.zeros((p * Ct, 3))
-        Xt_pad[:nt] = self.Xt_eff
-        owner = np.minimum(np.arange(nt) // Ct, p - 1)
-        rank_pairs = [[] for _ in range(p)]
-        for pi, (ti, e) in enumerate(self.near_pairs):
-            rank_pairs[owner[ti]].append(pi)
-        P_cap = max((len(r) for r in rank_pairs), default=1)
-        P_cap = max(P_cap, 1)
-        R = dev["near_mats"].shape[1] if self._n_near else 1
-        mats = np.zeros((p, P_cap, R, k1))
-        sidx = np.zeros((p, P_cap, R), np.int64)
-        ti_loc = np.full((p, P_cap), Ct, np.int64)   # Ct = drop slot
-        if self._n_near:
-            nm = np.asarray(dev["near_mats"])
-            ns_ = np.asarray(dev["near_sidx"])
-            for r in range(p):
-                for j, pi in enumerate(rank_pairs[r]):
-                    mats[r, j] = nm[pi]
-                    sidx[r, j] = ns_[pi]
-                    ti_loc[r, j] = self.near_pairs[pi][0] - r * Ct
-        d = {
-            "Xt_sh": jnp.asarray(
-                Xt_pad.reshape(p, Ct, 3), dt),
-            "mats": jnp.asarray(mats, dt),
-            "sidx": jnp.asarray(sidx, jnp.int32),
-            "ti": jnp.asarray(ti_loc, jnp.int32),
-            "Xf": dev["Xf"], "Xnf": dev["Xnf"], "wf": dev["wf"],
-            "interp": dev["interp"], "nidx": dev["nidx"],
-            "fidx": dev["fidx"], "fval": dev["fval"],
-        }
-        n_sig = self.dim(0) // k0
-        Cs = -(-n_sig // p)
-
-        def fn(sigma_local):
-            r = comm.rank()
-            # gather the full density (ScatterForward dual)
-            sigma = comm.allgather(sigma_local, tiled=True)
-            sigma = sigma.reshape(-1, k0)[:n_sig]
-            # far density interpolation (replicated, small)
-            sig_e = sigma[d["nidx"]]
-            Ffar_e = jnp.einsum("efn,enk->efk", d["interp"], sig_e)
-            Ff = jnp.zeros((len(self.Xf), k0), dt)
-            Ff = Ff.at[d["fidx"].reshape(-1)].add(
-                (Ffar_e * d["fval"][..., None]).reshape(-1, k0))
-            Ff = Ff * d["wf"][:, None]
-            # far field for OWNED targets only
-            Xt_r = d["Xt_sh"][r]
-            U = direct_eval_blocked(ker, Xt_r, d["Xf"], Ff,
-                                    ns=d["Xnf"],
-                                    block_t=256, block_s=1024)
-            # near corrections owned by this rank
-            sig_p = sigma.reshape(-1)[d["sidx"][r]]      # (Pc, R)
-            corr = jnp.einsum("pr,prk->pk", sig_p, d["mats"][r])
-            U = jnp.concatenate([U, jnp.zeros((1, k1), dt)])
-            U = U.at[d["ti"][r]].add(corr)
-            return U[:Ct]
-
-        return fn, Ct
+    def sharded_apply(self, comm):
+        """Distributed operator application over `comm`'s mesh axis —
+        element-aligned density/near sharding, far field through the
+        memory-sharded AdaptiveFMMDist (or sharded direct sums below
+        the FMM cutoff), near GEMMs on the element owner with routed
+        scatter-add; the density is NEVER replicated.  Returns a
+        `ShardedBIEApply` (see bie/dist.py) with `pack`/`unpack`/
+        `jit_apply`."""
+        from .dist import ShardedBIEApply
+        return ShardedBIEApply(self, comm)

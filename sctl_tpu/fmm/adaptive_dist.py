@@ -1,0 +1,515 @@
+"""Memory-sharded adaptive-tree KIFMM over a DistPtTree partition.
+
+The distributed production-FMM role (reference: PVFMM's MPI tree behind
+fmm-wrapper.txx:788-936; tree ghost/halo discipline tree.txx:295-333,
+547, 668).  `AdaptiveFMM.eval_sharded` (adaptive.py) shards WORK but
+replicates every point array; this module shards the MEMORY — the
+N-beyond-one-chip story (SURVEY.md §5.7):
+
+  partition   leaves (Morton order) are split into `ndev` equal
+              contiguous blocks — the DistPtTree Morton-range
+              partition (tree.txx:229-235).  Device d owns block d's
+              leaf point/normal/target/density/output arrays; only
+              O(n_leaf) skeleton metadata and the O(n_nodes * n_surf)
+              equivalent-density arrays are replicated (the
+              DistPtTree "replicated skeleton, sharded points"
+              design).
+  skeleton    built by DistPtTree.build_fn over the SHARDED points
+              (sample sort + one psum per level + communication-free
+              2:1 balance); its leaf set is identical to the host
+              PtTree's (test_tree.py), so the host-side interaction
+              lists (_build_lists) apply unchanged.
+  ghosts      the U list reads neighbor-leaf source points across
+              block boundaries: static point/normal ghosts are placed
+              at setup; per-apply DENSITY ghosts travel in ONE
+              all-to-all (the reference's ghost-data Broadcast,
+              tree.txx:668; alltoallv ghost exchange tree.txx:295+).
+  X list      evaluated SOURCE-side (each device processes its own
+              leaves' points into down-check potentials) so it needs
+              no point ghosts; the per-level node accumulators are
+              psum'd (the reference's ReduceBroadcast, tree.txx:547).
+  S2M         own leaves only; per-level multipole arrays psum'd.
+  M2M/V/L2L   replicated compute on the (small) node arrays —
+              identical on every device, no communication.
+  L2T/W/U     own target leaves only; output stays sharded.
+
+Communication per apply: one all-to-all of boundary-leaf densities
+(O((N/p)^(2/3)) per device for a surface distribution) plus psums of
+the per-level moment arrays (O(n_nodes * n_surf), independent of N).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .. import profile
+from ..comm.comm import Comm
+from ..ops.kernels import KernelSpec
+from .adaptive import AdaptiveFMM, _pad_rows
+
+
+def _stack_pad(arrs, fill=-1, dtype=np.int64):
+    """Stack variable-shape per-device index tables into one
+    fill-padded array (ndev, max_dims...)."""
+    nd = len(arrs)
+    if nd == 0:
+        return np.full((0, 1), fill, dtype)
+    ndim = max(a.ndim for a in arrs)
+    arrs = [a.reshape(a.shape + (1,) * (ndim - a.ndim)) for a in arrs]
+    dims = [max(a.shape[i] for a in arrs) for i in range(ndim)]
+    dims = [max(d, 1) for d in dims]
+    out = np.full([nd] + dims, fill, dtype)
+    for d, a in enumerate(arrs):
+        out[(d,) + tuple(slice(0, s) for s in a.shape)] = a
+    return out
+
+
+class AdaptiveFMMDist:
+    """Memory-sharded adaptive KIFMM over a Comm's mesh axis.
+
+    Same accuracy contract as AdaptiveFMM (they share trees, lists and
+    operator tables); point-sized arrays live sharded by leaf block.
+    """
+
+    def __init__(self, ker_s2t: KernelSpec, comm: Comm, p: int = 6,
+                 max_pts: int = 256,
+                 ker_l2t: Optional[KernelSpec] = None,
+                 ker_s2m: Optional[KernelSpec] = None, dtype=None):
+        assert comm.mesh is not None, \
+            "AdaptiveFMMDist needs a mesh communicator (Comm.world)"
+        self.comm = comm
+        self.ndev = comm.size()
+        self._afmm = AdaptiveFMM(ker_s2t, p=p, max_pts=max_pts,
+                                 ker_l2t=ker_l2t, ker_s2m=ker_s2m,
+                                 dtype=dtype)
+        self.dtype = self._afmm.dtype
+
+    # -- setup -------------------------------------------------------------
+    def setup(self, x_src, x_trg, n_src=None):
+        af = self._afmm
+        comm, ndev = self.comm, self.ndev
+        x_src = np.asarray(x_src, np.float64)
+
+        # host setup: tree + interaction lists + padded host arrays
+        # (the replicated-skeleton controller role; device memory is
+        # what the sharding below keeps at O(N/p))
+        af.setup(x_src, x_trg, n_src)
+
+        # distributed skeleton construction through DistPtTree (the
+        # reference's distributed UpdateRefinement, tree.txx:134-333):
+        # sharded points -> sample sort -> replicated skeleton; its
+        # leaf set must equal the host tree's (asserted — they are
+        # the same algorithm, test_tree.py:123).
+        from ..tree.dist_tree import DistPtTree
+        n = len(x_src)
+        C = -(-n // ndev)
+        Xp = np.zeros((ndev * C, 3))
+        Xp[:n] = x_src
+        cnt_np = np.minimum(np.maximum(n - np.arange(ndev) * C, 0), C)
+        mesh = comm.mesh
+        dtree = DistPtTree(comm, leaf_cap=max(
+            64, 2 * len(af.tree.leaf_keys)), pt_cap=2 * C,
+            max_level=12)
+        fn = dtree.build_fn(max_pts=af.max_pts, balance21=True,
+                            bbox=(af.offset, af.scale))
+        Xd = jax.device_put(jnp.asarray(Xp), NamedSharding(
+            mesh, P("x", None)))
+        cnt = jax.device_put(jnp.asarray(cnt_np, jnp.int32),
+                             NamedSharding(mesh, P("x")))
+        lk, ll, nl, _, _ = jax.jit(comm.run(
+            lambda Xl, c: fn(Xl, c[0]),
+            in_specs=(P("x", None), P("x")),
+            out_specs=(P(), P(), P("x"), P("x", None), P("x"))))(
+            Xd, cnt)
+        nl0 = int(np.asarray(nl)[0])
+        assert nl0 == len(af.tree.leaf_keys) and np.array_equal(
+            np.asarray(lk)[:nl0], af.tree.leaf_keys) and \
+            np.array_equal(np.asarray(ll)[:nl0], af.tree.leaf_levels), \
+            "DistPtTree skeleton diverged from the host tree"
+        self.dtree = dtree
+
+        data = af._data
+        n_leaf = len(af.tree.leaf_keys)
+        Cb = max(1, -(-n_leaf // ndev))
+        NL = ndev * Cb
+        self.n_leaf, self.Cb, self.NL = n_leaf, Cb, NL
+        dt = self.dtype
+        k0 = af.ker_s2t.kdim0
+        cap_s, cap_t = af.cap_s, af.cap_t
+        L = af.L
+
+        def padNL(a, fill=0):
+            out = np.full((NL,) + a.shape[1:], fill, a.dtype)
+            out[:n_leaf] = a
+            return out
+
+        xs_pad = np.asarray(data["xs_pad"], np.float64)
+        ns_pad = np.asarray(data["ns_pad"], np.float64)
+        xt_pad = np.asarray(data["xt_pad"], np.float64)
+        ctr = np.asarray(data["ctr"], np.float64)
+        ulist = np.asarray(data["ulist"])              # (n_leaf, u_cap)
+
+        owner = np.minimum(np.arange(n_leaf) // Cb, ndev - 1)
+
+        # ---- U-list ghosts: per (owner o -> requester d) leaf sets ----
+        need = [[] for _ in range(ndev)]
+        for d in range(ndev):
+            rows = np.arange(d * Cb, min((d + 1) * Cb, n_leaf))
+            if len(rows) == 0:
+                continue
+            s = ulist[rows]
+            s = np.unique(s[s >= 0])
+            need[d] = s[owner[s] != d]
+        Lod = {}                        # (o, d) -> sorted ghost leaves
+        K = 1
+        for d in range(ndev):
+            for o in np.unique(owner[need[d]]) if len(need[d]) else []:
+                Lod[(int(o), d)] = need[d][owner[need[d]] == o]
+                K = max(K, len(Lod[(int(o), d)]))
+        send_idx = np.full((ndev, ndev, K), -1, np.int64)
+        ghost_pos = {}                  # (d, global leaf) -> ext index
+        xs_ghost = np.zeros((ndev, ndev * K, cap_s, 3))
+        ns_ghost = np.zeros((ndev, ndev * K, cap_s, 3))
+        for (o, d), leaves in Lod.items():
+            send_idx[o, d, :len(leaves)] = leaves - o * Cb
+            for k, g in enumerate(leaves):
+                ghost_pos[(d, int(g))] = Cb + o * K + k
+                xs_ghost[d, o * K + k] = xs_pad[g]
+                ns_ghost[d, o * K + k] = ns_pad[g]
+        self.K = K
+
+        # extended U table: entries are indices into [own block (Cb);
+        # ghosts (ndev*K)] of the owning device
+        u_ext = np.full((NL, ulist.shape[1]), -1, np.int64)
+        for g in range(n_leaf):
+            d = owner[g]
+            for j, s in enumerate(ulist[g]):
+                if s < 0:
+                    continue
+                u_ext[g, j] = (s - d * Cb if owner[s] == d
+                               else ghost_pos[(d, int(s))])
+
+        # ---- per-level own-leaf tables (S2M + L2T share rows) ----
+        s2m_rows, s2m_nidx = [], []
+        for l in range(L + 1):
+            rows = np.asarray(data["leaf_node_row"][l])
+            nidx = np.asarray(data["leaf_node_idx"][l])
+            per_r, per_n = [], []
+            for d in range(ndev):
+                sel = (rows >= d * Cb) & (rows < (d + 1) * Cb)
+                per_r.append(rows[sel] - d * Cb)
+                per_n.append(nidx[sel])
+            s2m_rows.append(_stack_pad(per_r))
+            s2m_nidx.append(_stack_pad(per_n))
+
+        # ---- X list, source-side: per device+level, nodes with local
+        # source leaves + their local leaf slabs ----
+        x_nodes, x_slabs = [], []
+        for l in range(1, L + 1):
+            xl = data["xlist_t"][l - 1]
+            if xl is None:
+                x_nodes.append(None)
+                x_slabs.append(None)
+                continue
+            xl = np.asarray(xl)                      # (n_nodes_l, Kx)
+            nid, col = np.where(xl >= 0)
+            s = xl[nid, col]
+            per_n, per_s = [], []
+            for d in range(ndev):
+                sel = owner[s] == d
+                nd_, sd_ = nid[sel], s[sel] - d * Cb
+                uniq, inv = np.unique(nd_, return_inverse=True)
+                pad, _ = _pad_rows(inv, sd_, len(uniq)) \
+                    if len(uniq) else (np.full((0, 1), -1, np.int64), 1)
+                per_n.append(uniq)
+                per_s.append(pad)
+            x_nodes.append(_stack_pad(per_n))
+            x_slabs.append(_stack_pad(per_s))
+
+        # ---- W list: global table sharded by target block ----
+        w_ext = []
+        for l in range(1, L + 1):
+            wl = data["wlist_t"][l - 1]
+            w_ext.append(None if wl is None
+                         else padNL(np.asarray(wl), fill=-1))
+
+        sh1 = NamedSharding(mesh, P("x"))
+
+        def put(a, dtype=None):
+            return jax.device_put(jnp.asarray(a, dtype), sh1)
+
+        self._loc = {
+            "xs_own": put(padNL(xs_pad), dt),
+            "ns_own": put(padNL(ns_pad), dt),
+            "xt_own": put(padNL(xt_pad), dt),
+            "ctr_own": put(padNL(ctr), dt),
+            "send_idx": put(send_idx, jnp.int32),
+            "xs_ghost": put(xs_ghost, dt),
+            "ns_ghost": put(ns_ghost, dt),
+            "u_ext": put(u_ext, jnp.int32),
+            "s2m_rows": tuple(put(a, jnp.int32) for a in s2m_rows),
+            "s2m_nidx": tuple(put(a, jnp.int32) for a in s2m_nidx),
+            "x_nodes": tuple(None if a is None else put(a, jnp.int32)
+                             for a in x_nodes),
+            "x_slabs": tuple(None if a is None else put(a, jnp.int32)
+                             for a in x_slabs),
+            "w_ext": tuple(None if a is None else put(a, jnp.int32)
+                           for a in w_ext),
+        }
+        # replicated small tables (operator tables, node maps, V lists)
+        big = {"xs_pad", "ns_pad", "xt_pad", "s_valid", "t_valid",
+               "ctr", "leaf_lvl", "ulist", "wlist_t", "xlist_t"}
+        self._rep = {k: v for k, v in data.items() if k not in big}
+        # free the replicated point-sized device arrays: the sharded
+        # copies above are the only device-resident point data
+        for k in ("xs_pad", "ns_pad", "xt_pad"):
+            data[k] = None
+        self._eval_jit = None
+        return self
+
+    # -- density plumbing --------------------------------------------------
+    def _pad_density_sharded(self, f):
+        af = self._afmm
+        f = np.asarray(f, np.float64).reshape(-1, af.ker_s2t.kdim0)
+        fs = f[af.tree.perm]
+        fp = fs[af._sidx_np] * af._svalid_np[..., None]
+        fpad = np.zeros((self.NL,) + fp.shape[1:])
+        fpad[:self.n_leaf] = fp
+        return jax.device_put(jnp.asarray(fpad, self.dtype),
+                              NamedSharding(self.comm.mesh, P("x")))
+
+    def eval(self, f) -> np.ndarray:
+        """f (n_src, k0) original order -> (n_trg, k1), evaluated with
+        sharded point memory."""
+        af = self._afmm
+        fp = self._pad_density_sharded(f)
+        if self._eval_jit is None:
+            fn = self.comm.run(
+                self._eval_dist,
+                in_specs=(P("x"), P(), P("x")),
+                out_specs=P("x"))
+            self._eval_jit = jax.jit(fn)
+        with profile.Profile.scoped("AdaptiveFMMDist::Eval"):
+            u_pad = self._eval_jit(fp, self._rep, self._loc)
+        k1 = af.ker_l2t.kdim1
+        tv = np.zeros((self.NL, af.cap_t), bool)
+        tv[:self.n_leaf] = af._tvalid_np
+        u = np.asarray(u_pad).reshape(-1, k1)[tv.reshape(-1)]
+        out = np.empty((len(af._t_perm), k1))
+        out[af._t_perm] = u
+        return out
+
+    # -- the sharded program (runs inside shard_map) -------------------------
+    def _eval_dist(self, fp_loc, rep, loc):
+        af = self._afmm
+        comm = self.comm
+        nodes = af.nodes
+        L, ns = af.L, af.ns
+        dim = 3
+        dt = self.dtype
+        hi = lax.Precision.HIGHEST
+        Cb, K, ndev = self.Cb, self.K, self.ndev
+        k1t = af._ops.k1t
+        k0_l2t = af.ker_l2t.kdim0
+
+        def own(a):                    # (1, ...) per-device -> (...)
+            return a[0]
+
+        xs_own = loc["xs_own"]                     # (Cb, cap_s, 3)
+        ns_own = loc["ns_own"]
+        xt_own = loc["xt_own"]
+        ctr_own = loc["ctr_own"]
+
+        # ---- per-apply density ghost exchange (ONE all-to-all; the
+        # tree ghost-data Broadcast, tree.txx:668) ----
+        sidx = own(loc["send_idx"])                # (ndev, K)
+        sbuf = fp_loc[jnp.clip(sidx.reshape(-1), 0, Cb - 1)]
+        rbuf = comm.alltoall(sbuf)                 # (ndev*K, cap_s, k0)
+        ext_f = jnp.concatenate([fp_loc, rbuf], axis=0)
+        ext_xs = jnp.concatenate([xs_own, own(loc["xs_ghost"])], 0)
+        ext_ns = jnp.concatenate([ns_own, own(loc["ns_ghost"])], 0)
+
+        # ---- S2M over own leaves; moments psum'd (ReduceBroadcast) --
+        q_up = [jnp.zeros((max(nodes.n[l], 1), ns), dt)
+                for l in range(L + 1)]
+        for l in range(1, L + 1):
+            rows = own(loc["s2m_rows"][l])         # (S_l,) local rows
+            nidx = own(loc["s2m_nidx"][l])
+            if rows.shape[0] == 0:
+                continue
+            ok = rows >= 0
+            r = jnp.where(ok, rows, 0)
+            xck = rep["surf_out"][l][None] + ctr_own[r][:, None, :]
+
+            def s2m_box(args):
+                xc, xs, nrm, fb = args
+                return af.ker_s2m.apply_pairwise(xc, xs, nrm, fb)
+
+            u_check = lax.map(
+                s2m_box, (xck, xs_own[r], ns_own[r],
+                          fp_loc[r] * ok[:, None, None].astype(dt)),
+                batch_size=max(1, min(rows.shape[0], 4096)))
+            u_check = u_check.reshape(rows.shape[0], -1) \
+                * af.ker_s2m.scale_factor
+            qv = jnp.einsum("mn,bn->bm", rep["uc2e"][l], u_check,
+                            precision=hi)
+            q_up[l] = q_up[l].at[
+                jnp.where(ok, nidx, q_up[l].shape[0])].add(
+                qv, mode="drop")
+        q_up = [comm.allreduce(q) for q in q_up]
+
+        # ---- M2M upward (replicated node compute) ----
+        for l in range(L, 1, -1):
+            for c in range(1 << dim):
+                rows, par = rep["oct_groups"][l - 1][c]
+                if rows.shape[0] == 0:
+                    continue
+                mat = rep["m2m"][l - 1][c]
+                q_up[l - 1] = q_up[l - 1].at[par].add(
+                    jnp.einsum("bn,mn->bm", q_up[l][rows], mat,
+                               precision=hi))
+
+        # ---- V list (replicated) ----
+        q_dn = [jnp.zeros((max(nodes.n[l], 1), ns), dt)
+                for l in range(L + 1)]
+        for li, l in enumerate(range(2, L + 1)):
+            tpad, spad = rep["vtab"][li]
+            if tpad.shape[1] == 0:
+                continue
+            U = rep["m2l_u"][l]
+            r = U.shape[1]
+
+            def v_step(acc, blk, l=l):
+                tp, sp, C_ = blk
+                ok = tp >= 0
+                qs = q_up[l][jnp.where(ok, sp, 0)] \
+                    * ok[:, None].astype(dt)
+                contrib = jnp.einsum("bn,rn->br", qs, C_, precision=hi)
+                return acc.at[jnp.where(ok, tp, acc.shape[0])].add(
+                    contrib, mode="drop"), None
+
+            acc0 = jnp.zeros((max(nodes.n[l], 1), r), dt)
+            acc, _ = lax.scan(v_step, acc0,
+                              (tpad, spad, rep["m2l_c"][l]))
+            q_dn[l] = q_dn[l] + jnp.einsum("br,nr->bn", acc, U,
+                                           precision=hi)
+
+        # ---- X list, source-side; node accumulators psum'd ----
+        qx = {}
+        for l in range(1, L + 1):
+            xn = loc["x_nodes"][l - 1]
+            if xn is None:
+                continue
+            nid_t = own(xn)                        # (N_l,) node ids
+            slabs_t = own(loc["x_slabs"][l - 1])   # (N_l, Kx)
+            if nid_t.shape[0] == 0:
+                continue
+            okn = nid_t >= 0
+            nid = jnp.where(okn, nid_t, 0)
+            xck = (rep["surf_in"][l][None]
+                   + rep["node_ctr"][l][nid][:, None])
+
+            def x_node(args):
+                xc, slabs = args
+                ok = slabs >= 0
+                rows = jnp.where(ok, slabs, 0)
+                xs = xs_own[rows].reshape(-1, 3)
+                nr = ns_own[rows].reshape(-1, 3)
+                fb = (fp_loc[rows] * ok[:, None, None].astype(dt)
+                      ).reshape(-1, fp_loc.shape[-1])
+                return af.ker_s2m.apply_pairwise(xc, xs, nr, fb)
+
+            u_checkX = lax.map(
+                x_node, (xck, slabs_t),
+                batch_size=max(1, min(nid.shape[0], 2048)))
+            u_checkX = u_checkX.reshape(nid.shape[0], -1) \
+                * af.ker_s2m.scale_factor
+            qc = jnp.einsum("mn,bn->bm", rep["dc2e"][l], u_checkX,
+                            precision=hi)
+            qx[l] = jnp.zeros_like(q_dn[l]).at[
+                jnp.where(okn, nid, q_dn[l].shape[0])].add(
+                qc, mode="drop")
+        if qx:
+            qx = {l: comm.allreduce(v) for l, v in qx.items()}
+        for l, v in qx.items():
+            q_dn[l] = q_dn[l] + v
+
+        # ---- L2L downward (replicated) ----
+        for l in range(2, L + 1):
+            for c in range(1 << dim):
+                rows, par = rep["oct_groups"][l - 1][c]
+                if rows.shape[0] == 0:
+                    continue
+                mat = rep["l2l"][l - 1][c]
+                q_dn[l] = q_dn[l].at[rows].add(
+                    jnp.einsum("bn,mn->bm", q_dn[l - 1][par], mat,
+                               precision=hi))
+
+        # ---- L2T over own leaves ----
+        u_out = jnp.zeros((Cb, af.cap_t, af.ker_l2t.kdim1), dt)
+        for l in range(1, L + 1):
+            rows = own(loc["s2m_rows"][l])
+            nidx = own(loc["s2m_nidx"][l])
+            if rows.shape[0] == 0:
+                continue
+            ok = rows >= 0
+            r = jnp.where(ok, rows, 0)
+            xeq = rep["surf_out"][l][None] + ctr_own[r][:, None, :]
+            qd = q_dn[l][jnp.where(ok, nidx, 0)]
+
+            def l2t_box(args):
+                xt, xe, q_ = args
+                return af.ker_l2t.apply_pairwise(
+                    xt, xe, xe, q_.reshape(-1, k0_l2t))
+
+            u_far = lax.map(l2t_box, (xt_own[r], xeq, qd),
+                            batch_size=max(1, min(rows.shape[0], 4096)))
+            u_out = u_out.at[jnp.where(ok, r, Cb)].add(
+                u_far * af.ker_l2t.scale_factor
+                * ok[:, None, None].astype(dt), mode="drop")
+
+        # ---- W over own leaves (replicated multipoles) ----
+        for l in range(1, L + 1):
+            wl = loc["w_ext"][l - 1]
+            if wl is None:
+                continue
+            wl_loc = wl                            # (Cb, Kw) local rows
+
+            def w_leaf(args, l=l):
+                xt, slabs = args
+                ok = slabs >= 0
+                rows = jnp.where(ok, slabs, 0)
+                xe = (rep["surf_in"][l][None]
+                      + rep["node_ctr"][l][rows][:, None]).reshape(-1, 3)
+                q_ = (q_up[l][rows] * ok[:, None].astype(dt)).reshape(
+                    -1, k0_l2t)
+                return af.ker_l2t.apply_pairwise(xt, xe, xe, q_)
+
+            u_w = lax.map(w_leaf, (xt_own, wl_loc),
+                          batch_size=max(1, min(Cb, 2048)))
+            u_out = u_out + u_w * af.ker_l2t.scale_factor
+
+        # ---- U: direct near field over own targets, ghost sources ----
+        u_tbl = loc["u_ext"]                       # (Cb, u_cap)
+
+        def u_leaf(args):
+            xt, slabs = args
+            ok = slabs >= 0
+            rows = jnp.where(ok, slabs, 0)
+            xs = ext_xs[rows].reshape(-1, 3)
+            nr = ext_ns[rows].reshape(-1, 3)
+            fb = (ext_f[rows] * ok[:, None, None].astype(dt)).reshape(
+                -1, ext_f.shape[-1])
+            return af.ker_s2t.apply_pairwise(xt, xs, nr, fb)
+
+        u_near = lax.map(u_leaf, (xt_own, u_tbl),
+                         batch_size=max(1, min(Cb, 256)))
+        u_out = u_out + u_near * af.ker_s2t.scale_factor
+        return u_out

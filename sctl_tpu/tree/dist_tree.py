@@ -226,12 +226,17 @@ class DistPtTree:
         self.max_level = max_level
 
     def build_fn(self, max_pts: int, balance21: bool = False,
-                 periodic: bool = False):
+                 periodic: bool = False, bbox=None):
         """Returns fn(X (C, dim), cnt ()) -> (leaf_keys, leaf_lvl,
         n_leaf, X_sorted (pt_cap, dim), out_cnt) for comm.run /
         shard_map: global bbox -> Morton keys -> distributed sample
         sort (the HyperQuickSort role) -> replicated skeleton with
-        global counts -> optional 2:1 balance."""
+        global counts -> optional 2:1 balance.
+
+        bbox=(offset (dim,), scale) fixes the key normalization
+        instead of computing the global bbox (needed when a consumer
+        must map OTHER point sets — e.g. FMM targets — into the same
+        key space; cf. PtTree's shared `_normalize`)."""
         comm = self.comm
         dim, ml, lc = self.dim, self.max_level, self.leaf_cap
 
@@ -239,12 +244,18 @@ class DistPtTree:
             C = X.shape[0]
             i = jnp.arange(C)
             valid = i < cnt
-            big = jnp.float64(1e300)
-            lo = comm.allreduce(jnp.min(jnp.where(valid[:, None], X,
-                                                  big), axis=0), "min")
-            hi = comm.allreduce(jnp.max(jnp.where(valid[:, None], X,
-                                                  -big), axis=0), "max")
-            scale = jnp.max(hi - lo) * (1 + 1e-10)
+            if bbox is not None:
+                lo = jnp.asarray(bbox[0], X.dtype)
+                scale = jnp.asarray(bbox[1], X.dtype)
+            else:
+                big = jnp.float64(1e300)
+                lo = comm.allreduce(jnp.min(jnp.where(valid[:, None], X,
+                                                      big), axis=0),
+                                    "min")
+                hi = comm.allreduce(jnp.max(jnp.where(valid[:, None], X,
+                                                      -big), axis=0),
+                                    "max")
+                scale = jnp.max(hi - lo) * (1 + 1e-10)
             X01 = (X - lo) / scale
             keys = mt.morton_encode(jnp.where(valid[:, None], X01, 0.5),
                                     dim=dim)

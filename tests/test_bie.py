@@ -247,10 +247,11 @@ def test_stokes_torus_dirichlet_gmres_device():
 def test_bie_sharded_apply_matches(mesh8):
     """Distributed operator application over the 8-device mesh
     (reference: sharded ComputePotential, boundary_integral.txx:
-    1016-1142): same potentials as the single-device apply, and a
-    sharded GMRES solve matches the single-device solve."""
+    1016-1142): element-aligned density sharding, no full-density
+    replication, near GEMMs on the element owner + routed scatter-add
+    (ScatterForward); matches the single-device apply, and a sharded
+    GMRES solve matches the single-device solve."""
     import jax
-    from jax.sharding import NamedSharding, PartitionSpec as P
     from sctl_tpu.comm import Comm
     from sctl_tpu.linalg import gmres
 
@@ -265,17 +266,9 @@ def test_bie_sharded_apply_matches(mesh8):
     U_ref = op.compute_potential(sigma)
 
     comm = Comm.world(mesh8)
-    fn, Ct = op.sharded_apply_fn(comm)
-    p = 8
-    Cs = -(-n // p)
-    sig_pad = np.zeros(p * Cs)
-    sig_pad[:n] = sigma
-    sig_d = jax.device_put(
-        jnp.asarray(sig_pad.reshape(p * Cs, 1)),
-        NamedSharding(mesh8, P("x", None)))
-    U_sh = jax.jit(comm.run(fn, in_specs=P("x", None),
-                            out_specs=P("x", None)))(sig_d)
-    U_sh = np.asarray(U_sh)[:len(U_ref)]
+    sh = op.sharded_apply(comm)
+    apply_sh = sh.jit_apply()
+    U_sh = sh.unpack(apply_sh(sh.pack(sigma)))
     np.testing.assert_allclose(U_sh, U_ref, atol=1e-10
                                * np.abs(U_ref).max())
 
@@ -286,18 +279,12 @@ def test_bie_sharded_apply_matches(mesh8):
     from sctl_tpu.ops import direct_eval_blocked as deb
     bc = np.asarray(deb(Laplace3D_FxU, jnp.asarray(X),
                         jnp.asarray(src), jnp.asarray(q)))[:, 0]
-    bc_pad = np.zeros(p * Cs)
-    bc_pad[:n] = bc
-
-    apply_sh = jax.jit(comm.run(fn, in_specs=P("x", None),
-                                out_specs=P("x", None)))
+    b_pad = sh.pack(bc)
 
     def A_sh(sig):
-        u = apply_sh(sig.reshape(p * Cs, 1)).reshape(-1)
-        return u - 0.5 * sig
+        return apply_sh(sig).reshape(-1) - 0.5 * sig
 
-    x_sh, it_sh = gmres(A_sh, jnp.asarray(bc_pad), tol=1e-8,
-                        max_iter=60)
+    x_sh, it_sh = gmres(A_sh, b_pad, tol=1e-8, max_iter=60)
 
     def A_single(sig):
         u = op.compute_potential_jnp(sig).reshape(-1)
@@ -305,5 +292,34 @@ def test_bie_sharded_apply_matches(mesh8):
 
     x_1, it_1 = gmres(A_single, jnp.asarray(bc), tol=1e-8,
                       max_iter=60)
-    np.testing.assert_allclose(np.asarray(x_sh)[:n], np.asarray(x_1),
+    x_sh_n = sh.unpack(np.asarray(x_sh).reshape(-1, 1)).reshape(-1)
+    np.testing.assert_allclose(x_sh_n, np.asarray(x_1),
                                atol=1e-6 * np.abs(x_1).max())
+
+
+def test_bie_sharded_apply_fmm_far_field(mesh8):
+    """Sharded apply with the FMM far field ACTIVE (cutoff lowered so
+    the AdaptiveFMMDist path runs): matches the single-device apply at
+    its operator accuracy (VERDICT r2 #4: sharded far field through
+    the FMM, density never replicated)."""
+    from sctl_tpu.comm import Comm
+
+    lst = sphere_patches(n_per_face=2, q=6)
+    op = BoundaryIntegralOp(Laplace3D_DxU)
+    op.set_accuracy(1e-6)
+    op.far_fmm_cutoff = 1000            # force the tree-FMM far field
+    op.add_elem_list(lst)
+    op.setup()
+    assert op._far_fmm is not None
+    rng = np.random.default_rng(2)
+    n = op.dim(0)
+    sigma = rng.normal(size=n)
+    U_ref = op.compute_potential(sigma)
+
+    comm = Comm.world(mesh8)
+    sh = op.sharded_apply(comm)
+    assert sh._fmm is not None
+    U_sh = sh.unpack(sh.jit_apply()(sh.pack(sigma)))
+    # identical math up to f64 reduction ordering (psum'd moments)
+    np.testing.assert_allclose(U_sh, U_ref, atol=1e-8
+                               * np.abs(U_ref).max())

@@ -265,3 +265,41 @@ def test_adaptive_fmm_eval_jnp_traced():
     u1 = fm.eval(f)
     u2 = np.asarray(jax.jit(fm.eval_jnp)(jnp.asarray(f)))
     np.testing.assert_allclose(u2, u1, atol=1e-10 * np.abs(u1).max())
+
+
+def test_adaptive_fmm_dist_memory_sharded(mesh8):
+    """AdaptiveFMMDist: skeleton built by DistPtTree over sharded
+    points (asserted leaf-exact in setup), point/density/target/output
+    arrays sharded by leaf block, density ghosts in one all-to-all —
+    matches the dense direct sum and the single-device AdaptiveFMM
+    (VERDICT r2 #6: the memory-sharded adaptive path)."""
+    from sctl_tpu.comm import Comm
+    from sctl_tpu.fmm import AdaptiveFMM, AdaptiveFMMDist
+    from sctl_tpu.ops.kernels_np import full_matrix_np
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    xs = d
+    f = rng.normal(size=(n, 1))
+    u_d = (full_matrix_np(Laplace3D_FxU, xs, xs).T
+           @ f.ravel()).reshape(n, 1)
+
+    comm = Comm.world(mesh8)
+    fm = AdaptiveFMMDist(Laplace3D_FxU, comm, p=6, max_pts=64).setup(
+        xs, xs)
+    # the block partition must actually need ghosts (U lists cross
+    # block boundaries on a connected surface)
+    assert fm.K > 1
+    u = fm.eval(f)
+    rel = np.abs(u - u_d).max() / np.abs(u_d).max()
+    assert rel < 5e-5, rel
+
+    # agreement with the replicated-memory evaluator (identical math;
+    # psum/scatter orderings reorder the f64 sums, and the
+    # ill-conditioned equivalent densities amplify that reordering
+    # noise well above eps — the oracle above is the dense sum)
+    fs = AdaptiveFMM(Laplace3D_FxU, p=6, max_pts=64).setup(xs, xs)
+    u_ref = fs.eval(f)
+    assert np.abs(u - u_ref).max() / np.abs(u_ref).max() < 1e-8
