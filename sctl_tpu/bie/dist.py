@@ -387,3 +387,153 @@ class ShardedBIEApply:
             out_specs=P("x"))
         jf = jax.jit(wrapped)
         return lambda sig: jf(sig, self._t, fmm_args)
+
+
+def build_near_list_fn(comm: Comm, ndev: int, Ct: int, Cf: int,
+                       cap_route_t: int, cap_route_f: int,
+                       cap_join: int, cap_out: int):
+    """Distributed near-pair search (reference: BuildNearList,
+    boundary_integral.txx:46-183 — Morton sort of targets and far
+    nodes + HyperQuickSort + PartitionS splitter routing + neighbor-
+    box join + scatter of the pairs back to the target owners).
+
+    Returns a traced fn for `comm.run(fn, in_specs=..., P('x')...)`:
+
+        fn(Xt_loc (Ct,3), tcnt (), tgid_loc (Ct,),
+           Xf_loc (Cf,3), df_loc (Cf,), fe_loc (Cf,), fcnt ())
+          -> (pair_t (cap_out,), pair_e (cap_out,), n_pairs ())
+
+    per-device: targets/far nodes arrive in arbitrary blocks; pairs
+    (target id, element id) return grouped by the target's ORIGINAL
+    block owner (tgid // Ct), deduplicated, sorted.  Pipeline: grid
+    cell keys with side >= global max dist_far -> targets routed to
+    cell-range owners (PartitionS with equal key-range splitters) ->
+    far nodes replicated onto their 27 neighbor cells and routed once
+    -> local sorted-range join + exact distance filter -> pairs routed
+    to target owners -> local sort + dedupe.  Capacities follow the
+    (data, cnt) ragged-buffer convention of comm.verbs.
+    """
+    from ..comm.verbs import route, _local_sort_by_key
+
+    noff = 27
+    offs = np.stack(np.meshgrid(*([[-1, 0, 1]] * 3),
+                                indexing="ij"), -1).reshape(-1, 3)
+
+    def fn(Xt_loc, tcnt, tgid_loc, Xf_loc, df_loc, fe_loc, fcnt):
+        it = jnp.arange(Ct)
+        jf = jnp.arange(Cf)
+        tval = it < tcnt
+        fval = jf < fcnt
+        big = jnp.float64(1e300)
+        lo = comm.allreduce(jnp.minimum(
+            jnp.min(jnp.where(tval[:, None], Xt_loc, big), axis=0),
+            jnp.min(jnp.where(fval[:, None], Xf_loc, big), axis=0)),
+            "min")
+        hi = comm.allreduce(jnp.maximum(
+            jnp.max(jnp.where(tval[:, None], Xt_loc, -big), axis=0),
+            jnp.max(jnp.where(fval[:, None], Xf_loc, -big), axis=0)),
+            "max")
+        maxdf = comm.allreduce(
+            jnp.max(jnp.where(fval, df_loc, 0.0)), "max")
+        extent = jnp.max(hi - lo) + 1e-12
+        nside = jnp.clip((extent / jnp.maximum(
+            maxdf, extent / 1024)).astype(jnp.int64), 1, 1024)
+        side = extent / nside * (1 + 1e-12)
+
+        def cell(X):
+            return jnp.clip(((X - lo) / side).astype(jnp.int64), 0,
+                            nside - 1)
+
+        def ckey(c):
+            return (c[:, 0] * nside + c[:, 1]) * nside + c[:, 2]
+
+        ncell = nside * nside * nside
+
+        def owner_of(k):
+            return jnp.clip((k * ndev) // ncell, 0, ndev - 1).astype(
+                jnp.int32)
+
+        # 1. route targets to their cell-range owner (PartitionS role)
+        kt = ckey(cell(Xt_loc))
+        (kt_r, tg_r, Xt_r), tcnt_r = route(
+            comm, (kt, tgid_loc, Xt_loc), tcnt, owner_of(kt),
+            cap_route_t)
+        kt_s, (tg_s, Xt_s) = _local_sort_by_key(kt_r, tcnt_r,
+                                                (tg_r, Xt_r))
+
+        # 2. far nodes onto their 27 neighbor cells, ONE route
+        cf = cell(Xf_loc)
+        nk_all, val_all = [], []
+        for o in range(noff):
+            nc = cf + jnp.asarray(offs[o])[None, :]
+            ok = jnp.all((nc >= 0) & (nc < nside), axis=1) & fval
+            nk_all.append(ckey(jnp.clip(nc, 0, nside - 1)))
+            val_all.append(ok)
+        nk = jnp.concatenate(nk_all)               # (27*Cf,)
+        vv = jnp.concatenate(val_all)
+        Xf_t = jnp.tile(Xf_loc, (noff, 1))
+        df_t = jnp.tile(df_loc, noff)
+        fe_t = jnp.tile(fe_loc, noff)
+        order = jnp.argsort(~vv, stable=True)      # valid first
+        n_ok = jnp.sum(vv.astype(jnp.int32))
+        (nk_r, Xf_r, df_r, fe_r), fcnt_r = route(
+            comm, (nk[order], Xf_t[order], df_t[order], fe_t[order]),
+            n_ok, owner_of(nk[order]), cap_route_f)
+
+        # 3. sorted-range join: targets in the far-copy's cell
+        lo_i = jnp.searchsorted(kt_s, nk_r)
+        hi_i = jnp.searchsorted(kt_s, nk_r + 1)
+        okf = jnp.arange(cap_route_f) < fcnt_r
+        cnt = jnp.where(okf, hi_i - lo_i, 0)
+        dsp = jnp.cumsum(cnt) - cnt
+        total = jnp.sum(cnt)
+        j = jnp.arange(cap_join)
+        fi = jnp.clip(jnp.searchsorted(dsp, j, side="right") - 1, 0,
+                      cap_route_f - 1)
+        pos = j - dsp[fi]
+        ti = jnp.clip(lo_i[fi] + pos, 0, cap_route_t - 1)
+        valid = (j < total) & (pos < cnt[fi])
+        d2 = jnp.sum((Xt_s[ti] - Xf_r[fi]) ** 2, axis=1)
+        keep = valid & (d2 < df_r[fi] ** 2)
+
+        # 4. LOCAL dedupe before routing (all duplicates are local:
+        # every pair for target t is produced on the owner of t's
+        # cell), so the routed buffer and cap_out scale with the
+        # UNIQUE pair count, not the raw join count
+        E_big = jnp.int64(1) << 31
+        sent = jnp.int64(jnp.iinfo(jnp.int64).max)
+        pk = jnp.where(keep, tg_s[ti] * E_big + fe_r[fi], sent)
+        order2 = jnp.argsort(pk)
+        pk_s = pk[order2]
+        keep_s = keep[order2]
+        first = keep_s & jnp.concatenate(
+            [jnp.ones(1, bool), pk_s[1:] != pk_s[:-1]])
+        n_loc = jnp.sum(first.astype(jnp.int32))
+        posc = jnp.cumsum(first.astype(jnp.int32)) - 1
+        ptc = jnp.zeros((cap_out,), jnp.int64)
+        pec = jnp.zeros((cap_out,), jnp.int64)
+        scat = jnp.where(first, posc, cap_out)
+        ptc = ptc.at[scat].set(pk_s // E_big, mode="drop")
+        pec = pec.at[scat].set(pk_s % E_big, mode="drop")
+
+        # route unique pairs to the target's original block owner
+        dest = jnp.clip(ptc // Ct, 0, ndev - 1).astype(jnp.int32)
+        (pt_r, pe_r), pcnt = route(comm, (ptc, pec), n_loc, dest,
+                                   cap_out)
+
+        # 5. final local sort + (cross-device safety) dedupe
+        pk2 = pt_r * E_big + pe_r
+        pk2_s, _ = _local_sort_by_key(pk2, pcnt, None)
+        iv = jnp.arange(cap_out) < pcnt
+        first2 = iv & jnp.concatenate(
+            [jnp.ones(1, bool), pk2_s[1:] != pk2_s[:-1]])
+        n_uniq = jnp.sum(first2.astype(jnp.int32))
+        posu = jnp.cumsum(first2.astype(jnp.int32)) - 1
+        outt = jnp.full((cap_out,), -1, jnp.int64)
+        oute = jnp.full((cap_out,), -1, jnp.int64)
+        scat2 = jnp.where(first2, posu, cap_out)
+        outt = outt.at[scat2].set(pk2_s // E_big, mode="drop")
+        oute = oute.at[scat2].set(pk2_s % E_big, mode="drop")
+        return outt, oute, n_uniq[None]
+
+    return fn

@@ -323,3 +323,65 @@ def test_bie_sharded_apply_fmm_far_field(mesh8):
     # identical math up to f64 reduction ordering (psum'd moments)
     np.testing.assert_allclose(U_sh, U_ref, atol=1e-8
                                * np.abs(U_ref).max())
+
+
+def test_bie_build_near_list_dist(mesh8):
+    """Distributed near-pair search (reference: BuildNearList,
+    boundary_integral.txx:46-183): cell-key routing (PartitionS role)
+    + 27-neighbor replication + sorted-range join + pair routing to
+    target owners reproduces the host grid search's pair set."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from sctl_tpu.comm import Comm
+    from sctl_tpu.bie.dist import build_near_list_fn
+
+    lst = sphere_patches(n_per_face=2, q=6)
+    op = BoundaryIntegralOp(Laplace3D_DxU)
+    op.set_accuracy(1e-6)
+    op.add_elem_list(lst)
+    op.setup()
+    ref = set(op.near_pairs)
+
+    comm = Comm.world(mesh8)
+    ndev = 8
+    nt, nf = len(op.Xt_eff), len(op.Xf)
+    Ct, Cf = -(-nt // ndev), -(-nf // ndev)
+    elem_of_f = np.repeat(np.arange(len(op.far_cnt)), op.far_cnt)
+
+    def blocks(a, C, fill=0.0):
+        out = np.full((ndev * C,) + a.shape[1:], fill, a.dtype)
+        out[:len(a)] = a
+        return out
+
+    sh = lambda s: NamedSharding(mesh8, P(*s))
+    Xt = jax.device_put(jnp.asarray(blocks(op.Xt_eff, Ct)),
+                        sh(("x", None)))
+    tg = jax.device_put(jnp.asarray(blocks(np.arange(nt), Ct)),
+                        sh(("x",)))
+    Xf = jax.device_put(jnp.asarray(blocks(op.Xf, Cf)), sh(("x", None)))
+    df = jax.device_put(jnp.asarray(blocks(op.df, Cf)), sh(("x",)))
+    fe = jax.device_put(jnp.asarray(blocks(elem_of_f, Cf)), sh(("x",)))
+    tcnt = jax.device_put(jnp.asarray(np.minimum(np.maximum(
+        nt - np.arange(ndev) * Ct, 0), Ct), jnp.int32), sh(("x",)))
+    fcnt = jax.device_put(jnp.asarray(np.minimum(np.maximum(
+        nf - np.arange(ndev) * Cf, 0), Cf), jnp.int32), sh(("x",)))
+
+    cap_out = 4 * max(1, len(ref) // ndev) + 64
+    fn = build_near_list_fn(comm, ndev, Ct, Cf,
+                            cap_route_t=ndev * Ct,
+                            cap_route_f=27 * ndev * Cf,
+                            cap_join=128 * ndev * Cf, cap_out=cap_out)
+    pt, pe, n_u = jax.jit(comm.run(
+        lambda *a: fn(a[0], a[1][0], a[2], a[3], a[4], a[5], a[6][0]),
+        in_specs=(P("x", None), P("x"), P("x"), P("x", None), P("x"),
+                  P("x"), P("x")),
+        out_specs=(P("x"), P("x"), P("x"))))(
+        Xt, tcnt, tg, Xf, df, fe, fcnt)
+    pt = np.asarray(pt).reshape(ndev, -1)
+    pe = np.asarray(pe).reshape(ndev, -1)
+    n_u = np.asarray(n_u).reshape(-1)
+    got = set()
+    for d in range(ndev):
+        for j in range(int(n_u[d])):
+            got.add((int(pt[d, j]), int(pe[d, j])))
+    assert got == ref, (len(got), len(ref))
