@@ -799,7 +799,7 @@ class AdaptiveFMM:
         Reference role: PVFMM's distributed adaptive FMM evaluation
         behind fmm-wrapper.txx:788-936."""
         from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
         ax = mesh.axis_names[0]

@@ -76,6 +76,25 @@ def _pinv(a: np.ndarray, rcond: float = 1e-9) -> np.ndarray:
     return (vt.T * sinv) @ u.T
 
 
+def _pinv_ns(a: np.ndarray, rcond: float) -> np.ndarray:
+    """Truncated pseudo-inverse refined in 80-bit extended precision
+    (np.longdouble, eps ~ 1e-19): f64 SVD start, then Newton-Schulz
+    X <- X (2I - A X), which is a fixed point at the truncated pinv
+    and contracts its error quadratically within the retained
+    subspaces.  The f64 SVD's ~eps*sigma_max absolute error on the
+    near-cutoff singular values (relative error ~eps/rcond, the
+    measured cause of the round-2 accuracy plateau: rcond=1e-12
+    measured 270x WORSE than 1e-10 in f64) is driven below 1e-16 —
+    the reference's precompute-in-QuadReal discipline
+    (ode-solver.txx:77-112, math_utils.hpp:236-300)."""
+    x = _pinv(a, rcond).astype(np.longdouble)
+    al = a.astype(np.longdouble)
+    eye2 = 2.0 * np.eye(a.shape[0], dtype=np.longdouble)
+    for _ in range(3):
+        x = x @ (eye2 - al @ x)
+    return x
+
+
 def _vlist_offsets():
     """All 316 same-level relative offsets delta with |delta|_inf in
     {2,3}, plus the (8-parity, offset) validity table: delta is in the
@@ -93,7 +112,7 @@ def _vlist_offsets():
     return d, valid
 
 
-def _op_cache_path(ker_trans, p, rcond):
+def _op_cache_path(ker_trans, p, rcond, hiprec=False):
     """Disk-cache path for precomputed UNIT-BOX operator tables (the
     reference's SCTL_DATA_PATH cached-tables discipline, common.hpp:
     9-11, sph_harm MatrixStore pattern).  Since v4 the tables are
@@ -103,7 +122,8 @@ def _op_cache_path(ker_trans, p, rcond):
     so one cache entry serves every tree configuration."""
     import os
     from ..config import config
-    key = f"kifmm_{ker_trans.name}_p{p}_r{rcond:.3g}_unit_v4.npz"
+    hp = "hp" if hiprec else ""
+    key = f"kifmm_{ker_trans.name}_p{p}_r{rcond:.3g}_unit_v4{hp}.npz"
     return os.path.join(config.data_path, key)
 
 
@@ -171,19 +191,21 @@ class KIFMMOperators:
 
     def __init__(self, ker_s2t: KernelSpec, ker_trans: KernelSpec,
                  ker_l2t: KernelSpec, p: int, depth: int, scale: float,
-                 dtype=jnp.float32, rcond: Optional[float] = None):
+                 dtype=jnp.float32, rcond: Optional[float] = None,
+                 hiprec: bool = False):
         if rcond is None:
             # f32 pipeline: pinv components with sigma below ~3e-5
             # amplify f32 rounding past the p<=8 accuracy target
             # (measured optimum; f64 keeps gaining down to 1e-9)
             rcond = 3e-5 if dtype == jnp.float32 else 1e-9
         self._rcond = rcond
+        self._hiprec = bool(hiprec)
         surf = cube_surface(p)                     # unit cube surface
         self.n_surf = len(surf)
         self.p = p
         self.offsets, self.parity_valid = _vlist_offsets()
 
-        cache_path = _op_cache_path(ker_trans, p, rcond)
+        cache_path = _op_cache_path(ker_trans, p, rcond, hiprec)
         if not self._load_cache(cache_path):
             self._build_unit(ker_trans, surf, rcond)
             self._compress_m2l_unit()
@@ -203,29 +225,39 @@ class KIFMMOperators:
         t_exp = np.asarray(ker_trans.trg_scal, np.float64)
         s_in = surf * (RAD_IN / 2)                 # equiv-up / check-dn
         s_out = surf * (RAD_OUT / 2)               # check-up / equiv-dn
-        self.uc2e_unit = _pinv(_kmat(ker_trans, s_out, s_in), rcond)
-        self.dc2e_unit = _pinv(_kmat(ker_trans, s_in, s_out), rcond)
-        # dc2e at the child side 1/2 (for l2l_unit)
-        dc2e_half = _outer_scale(self.dc2e_unit, 0.5, s_exp, t_exp)
+        # hiprec: pinv + translation products in 80-bit longdouble
+        # (precompute-in-QuadReal discipline); tables stored f64
+        pinv = _pinv_ns if self._hiprec else _pinv
+        f64 = (lambda a: np.asarray(a, np.float64))
+        uc2e = pinv(_kmat(ker_trans, s_out, s_in), rcond)
+        dc2e = pinv(_kmat(ker_trans, s_in, s_out), rcond)
+        self.uc2e_unit = f64(uc2e)
+        self.dc2e_unit = f64(dc2e)
+        self._dc2e_work = dc2e                     # native precision
+        # dc2e at the child side 1/2 (for l2l_unit); _outer_scale's
+        # f64 scale vectors promote, preserving the work precision
+        dc2e_half = _outer_scale(dc2e, 0.5, s_exp, t_exp)
         cc = (child_pos - 0.5) * 0.5               # child ctr offsets
         m2m_l, l2l_l = [], []
         for c in range(8):
             # child up-equiv -> parent up-check -> parent up-equiv
             k = _kmat(ker_trans, s_out, surf * (RAD_IN / 4) + cc[c])
-            m2m_l.append(self.uc2e_unit @ k)
+            m2m_l.append(f64(uc2e @ k.astype(uc2e.dtype)))
             # parent dn-equiv -> child dn-check -> child dn-equiv
             k2 = _kmat(ker_trans, surf * (RAD_IN / 4) + cc[c], s_out)
-            l2l_l.append(dc2e_half @ k2)
+            l2l_l.append(f64(dc2e_half @ k2.astype(dc2e.dtype)))
         self.m2m_unit = np.stack(m2m_l)            # (8, ns, ns)
         self.l2l_unit = np.stack(l2l_l)
+        self._ker_trans_ref = ker_trans
+        self._s_in_ref = s_in
         mats = []
         for d in self.offsets:
             # target box at origin; source box center at +d*side
             # (the shifted grid q[x+d] puts that source at slot x):
             # src up-equiv surface -> trg dn-check surface
             k = _kmat(ker_trans, s_in, s_in + d * 1.0)
-            mats.append(self.dc2e_unit @ k)
-        self.m2l_unit = np.stack(mats)             # (316, ns, ns)
+            mats.append(self.dc2e_unit @ k)        # f64 (basis only in
+        self.m2l_unit = np.stack(mats)             # hiprec; see below)
 
     def _compress_m2l_unit(self):
         """Joint two-sided factorization M_d = U A_d V^T of the unit
@@ -233,11 +265,20 @@ class KIFMMOperators:
         pinv rcond cutoff), measured ~80 of 152 at p=6 — per-offset
         GEMMs run in the compressed space, one basis GEMM per box
         expands after.  Lossless to ~1e-12 (randomized range finder
-        above 2048 rows — exact-SVD cost dominated cold setup)."""
+        above 2048 rows — exact-SVD cost dominated cold setup).
+
+        hiprec: the compression tolerance is rcond-linked (the fixed
+        1e-10 cutoff was the diagnosed round-2 limiter past the
+        ~7e-9 plateau) and the compressed tables A_d = U^T (dc2e K_d) V
+        are recomputed in longdouble — the f64 product dc2e @ K_d
+        loses ~eps/rcond digits to cancellation against the ~1/rcond
+        dc2e entries."""
+        ctol = (max(1e-13, min(1e-10, 0.1 * self._rcond))
+                if self._hiprec else 1e-10)
         M = self.m2l_unit                          # (316, ns, ns)
         ns_ = M.shape[1]
         A = np.transpose(M, (1, 0, 2)).reshape(ns_, -1)
-        U = _rand_colbasis(A, 1e-10)
+        U = _rand_colbasis(A, ctol)
         r = min(max(8, -(-U.shape[1] // 8) * 8), ns_)  # sublane-align
         if U.shape[1] < r:
             U2, _, _ = np.linalg.svd(
@@ -251,7 +292,7 @@ class KIFMMOperators:
         # ONCE per level, so every scan step reads r2 <= ns channels
         # instead of ns (the M2L sweep is traffic-bound)
         B = np.transpose(C, (2, 0, 1)).reshape(ns_, -1)
-        V = _rand_colbasis(B, 1e-10)
+        V = _rand_colbasis(B, ctol)
         r2 = min(max(8, -(-V.shape[1] // 8) * 8), ns_)
         if V.shape[1] < r2:
             V2, _, _ = np.linalg.svd(
@@ -261,6 +302,17 @@ class KIFMMOperators:
         self.vb_unit = Vr
         self.ca_unit = np.einsum("ork,kn->orn", C, Vr, optimize=True)
         self.cc_unit = C
+        if self._hiprec:
+            # recompute the tables the M2L sweep actually reads in
+            # longdouble: A_d = (U^T dc2e) K_d V with one (r, ns)
+            # projection W precomputed; ~0.75 ns^3 longdouble MACs per
+            # offset, one-time and disk-cached
+            W = Ur.T.astype(np.longdouble) @ self._dc2e_work
+            Vl = Vr.astype(np.longdouble)
+            for i, d in enumerate(self.offsets):
+                k = _kmat(self._ker_trans_ref, self._s_in_ref,
+                          self._s_in_ref + d * 1.0).astype(np.longdouble)
+                self.ca_unit[i] = np.float64((W @ k) @ Vl)
 
     def _derive_levels(self, ker_trans, depth, scale, surf):
         """Per-level operator lists (the layout every consumer reads)
@@ -471,14 +523,18 @@ class KIFMM:
                  dtype=None,
                  use_pallas_p2p: Optional[bool] = None,
                  use_pallas_m2l: Optional[bool] = None,
-                 rcond: Optional[float] = None):
+                 rcond: Optional[float] = None,
+                 hiprec: bool = False):
         import jax
         from ..ops.kernels import Laplace3D_FxdU, Stokes3D_FSxU
         # pinv cutoff for the equivalent-surface operators; None picks
         # the dtype default (KIFMMOperators.__init__) — tighten (e.g.
         # 1e-12 with p >= 10, f64) for the high rungs of the accuracy
-        # ladder (BASELINE.md)
+        # ladder (BASELINE.md).  hiprec builds the operator tables in
+        # 80-bit extended precision with rcond-linked M2L compression
+        # cutoffs (required past ~7e-9; BASELINE.md rungs 7+)
         self.rcond = rcond
+        self.hiprec = hiprec
         # compact U-list Pallas P2P on real TPU; the XLA 27-offset
         # sweep elsewhere (CPU tests run the same math through XLA)
         if use_pallas_p2p is None:
@@ -548,7 +604,8 @@ class KIFMM:
         self.scale = self.src_tree.scale
         self._ops = KIFMMOperators(self.ker_s2t, self.ker_trans,
                                    self.ker_l2t, self.p, L, self.scale,
-                                   self.dtype, rcond=self.rcond)
+                                   self.dtype, rcond=self.rcond,
+                                   hiprec=self.hiprec)
         # padded per-leaf arrays with QUANTILE capacity: padding every
         # box to the max count wastes (max/mean)^2 of the P2P compute
         # (Poisson tail); points beyond the 97th-percentile capacity go

@@ -93,10 +93,17 @@ class KIFMMDist:
         ops = KIFMMOperators(self.ker_s2t, self.ker_trans, self.ker_l2t,
                              self.p, L, self.src_tree.scale, self.dtype)
         self._ops = ops
-        self.cap_s = max(8, int(self.src_tree.box_cnt.max()))
-        self.cap_t = max(8, int(self.trg_tree.box_cnt.max()))
+        # single-chip data layout (VERDICT r2 #7): quantile capacity
+        # with a compact replicated overflow sideband instead of
+        # padding every box to the max count ((max/mean)^2 waste)
+        from .kifmm import _quantile_cap, _overflow_slots
+        self.cap_s = _quantile_cap(self.src_tree.box_cnt,
+                                   lane_dim=True)
+        self.cap_t = _quantile_cap(self.trg_tree.box_cnt)
         xs_p, ns_p, _ = _pad_boxes(self.src_tree, n_src, self.cap_s)
         xt_p, _, t_mask = _pad_boxes(self.trg_tree, None, self.cap_t)
+        self._ovf_s = _overflow_slots(self.src_tree, self.cap_s)
+        self._ovf_t = _overflow_slots(self.trg_tree, self.cap_t)
 
         # Morton -> x-major permutation of boxes (per level)
         self._xmajor = {l: self._xmajor_perm(l) for l in range(L + 1)}
@@ -118,6 +125,7 @@ class KIFMMDist:
         self.t_mask = t_mask                       # host, Morton order
         ctr = self.src_tree.box_centers()
         self.ctr_g = grid(ctr)
+        self._setup_overflow(n_src, ctr)
         # operators (replicated)
         rep = NamedSharding(self.mesh, P())
         cast = lambda a: jax.device_put(jnp.asarray(a, dt), rep)
@@ -133,6 +141,57 @@ class KIFMMDist:
         }
         self._eval_jit = None
         return self
+
+    def _setup_overflow(self, n_src, ctr):
+        """Replicated overflow-sideband tables (the single-chip slot-2
+        layout, kifmm.py:_overflow_slots): boxes beyond the quantile
+        capacity keep their excess points in compact replicated arrays
+        — small by construction (~3% of boxes), so replication costs
+        O(Bo * cap2) while the padded grids stay at the quantile
+        capacity."""
+        nside = 1 << self.depth
+        dt = self.dtype
+        rep = NamedSharding(self.mesh, P())
+        cast = lambda a, dty=dt: jax.device_put(jnp.asarray(a, dty),
+                                                rep)
+        xinv = self._xmajor_inv()
+
+        def xyz(boxes):
+            lin = xinv[boxes]
+            return np.stack([lin // nside ** 2,
+                             (lin // nside) % nside,
+                             lin % nside], 1).astype(np.int32)
+
+        bo_s, cap2s, idx_s, val_s = self._ovf_s
+        bo_t, cap2t, idx_t, val_t = self._ovf_t
+        self.Bo_s, self.cap2_s = len(bo_s), cap2s
+        self.Bo_t, self.cap2_t = len(bo_t), cap2t
+        st, tt = self.src_tree, self.trg_tree
+        d = {}
+        if len(bo_s):
+            ns_sorted = (np.asarray(n_src, np.float64)[st.perm]
+                         if n_src is not None
+                         else np.zeros_like(st.X_sorted))
+            d["xs_o"] = cast(st.X_sorted[idx_s])
+            d["ns_o"] = cast(ns_sorted[idx_s])
+            d["val_s"] = cast(val_s.astype(np.float64))
+            d["ctr_s"] = cast(ctr[bo_s])
+            d["xyz_s"] = cast(xyz(bo_s), jnp.int32)
+        if len(bo_t):
+            d["xt_o"] = cast(tt.X_sorted[idx_t])
+            d["val_t"] = cast(val_t.astype(np.float64))
+            d["ctr_t"] = cast(ctr[bo_t])
+            d["xyz_t"] = cast(xyz(bo_t), jnp.int32)
+        if len(bo_s) and len(bo_t):
+            cs, ct2 = xyz(bo_s), xyz(bo_t)
+            adj = (np.abs(cs[:, None, :] - ct2[None, :, :]).max(2)
+                   <= 1)
+            oi, ti = np.nonzero(adj)
+            d["oo_pairs"] = cast(
+                np.stack([oi, ti], 1).astype(np.int32)
+                if len(oi) else np.zeros((0, 2), np.int32), jnp.int32)
+        self._ovf_idx = (idx_s, val_s, idx_t, val_t)
+        self.data_ovf = d
 
     def _xmajor_perm(self, l):
         """perm such that morton_array[perm] is x-major at level l."""
@@ -152,52 +211,76 @@ class KIFMMDist:
         idx = tree.box_dsp[:-1, None] + np.arange(self.cap_s)[None, :]
         valid = idx < tree.box_dsp[1:, None]
         idx = np.clip(idx, 0, len(f) - 1)
-        fp = f[tree.perm][idx] * valid[..., None]
+        fs = f[tree.perm]
+        fp = fs[idx] * valid[..., None]
         nside = 1 << self.depth
         fp = fp[self._xmajor[self.depth]].reshape(
             nside, nside * nside, self.cap_s, -1)
-        return jax.device_put(jnp.asarray(fp, self.dtype),
+        fp_d = jax.device_put(jnp.asarray(fp, self.dtype),
                               NamedSharding(self.mesh, P(self.axis)))
+        idx_s, val_s, _, _ = self._ovf_idx
+        fo = (fs[idx_s] * val_s[..., None] if self.Bo_s
+              else np.zeros((1, self.cap2_s, f.shape[1])))
+        fo_d = jax.device_put(jnp.asarray(fo, self.dtype),
+                              NamedSharding(self.mesh, P()))
+        return fp_d, fo_d
 
     # -- halo helpers (inside shard_map) ------------------------------------
     def _halo_x(self, a, width: int):
         """Pad the local slab's leading axis with `width` planes from
-        the neighbor shards (zeros at the domain boundary)."""
+        the neighbor shards (zeros at the domain boundary).
+
+        `a` may be a pytree: all leaves travel in ONE batched
+        ppermute pair (the reference batches its ghost payloads into
+        one Alltoallv per level, tree.txx:295+)."""
         ax = self.axis
         nd = self.n_dev
         idx = lax.axis_index(ax)
-        lo = lax.ppermute(a[-width:], ax,
-                          [(i, (i + 1) % nd) for i in range(nd)])
-        hi = lax.ppermute(a[:width], ax,
-                          [(i, (i - 1) % nd) for i in range(nd)])
-        zero = jnp.zeros_like(lo)
-        lo = jnp.where(idx == 0, zero, lo)         # wrap -> zero
-        hi = jnp.where(idx == nd - 1, zero, hi)
-        return jnp.concatenate([lo, a, hi], axis=0)
+        tm = jax.tree_util.tree_map
+        lo = tm(lambda v: lax.ppermute(
+            v[-width:], ax, [(i, (i + 1) % nd) for i in range(nd)]), a)
+        hi = tm(lambda v: lax.ppermute(
+            v[:width], ax, [(i, (i - 1) % nd) for i in range(nd)]), a)
+        lo = tm(lambda v: jnp.where(idx == 0, jnp.zeros_like(v), v),
+                lo)                                # wrap -> zero
+        hi = tm(lambda v: jnp.where(idx == nd - 1, jnp.zeros_like(v),
+                                    v), hi)
+        return tm(lambda l, m, h: jnp.concatenate([l, m, h], axis=0),
+                  lo, a, hi)
 
     # -- evaluation ----------------------------------------------------------
     def eval(self, f) -> np.ndarray:
-        fp = self._pad_density(f)
+        fp, fo = self._pad_density(f)
         if self._eval_jit is None:
             spec = P(self.axis)
-            rep_spec = jax.tree_util.tree_map(lambda _: P(),
-                                              self.data_rep)
+            rspec = lambda t: jax.tree_util.tree_map(lambda _: P(), t)
             self._eval_jit = jax.jit(jax.shard_map(
                 self._eval_impl, mesh=self.mesh,
-                in_specs=(spec, spec, spec, spec, spec, rep_spec),
-                out_specs=spec, check_vma=False))
-        u_g = self._eval_jit(fp, self.xs_g, self.ns_g, self.xt_g,
-                             self.ctr_g, self.data_rep)
+                in_specs=(spec, P(), spec, spec, spec, spec,
+                          rspec(self.data_rep), rspec(self.data_ovf)),
+                out_specs=(spec, P()), check_vma=False))
+        u_g, u_ovf = self._eval_jit(fp, fo, self.xs_g, self.ns_g,
+                                    self.xt_g, self.ctr_g,
+                                    self.data_rep, self.data_ovf)
         # x-major grid -> Morton box order -> original target order
         nside = 1 << self.depth
+        k1 = self.ker_l2t.kdim1
         u = np.asarray(u_g).reshape(nside ** 3, self.cap_t, -1)
         u_m = u[self._xmajor_inv()]
-        u_flat = u_m.reshape(-1, self.ker_l2t.kdim1)[
+        tt = self.trg_tree
+        res_sorted = np.zeros((len(tt.perm), k1))
+        # padded slots: sorted position = box_dsp[b] + slot
+        pos_pad = (tt.box_dsp[:-1, None]
+                   + np.arange(self.cap_t)[None, :])[self.t_mask]
+        res_sorted[pos_pad] = u_m.reshape(-1, k1)[
             self.t_mask.reshape(-1)]
-        out = np.empty_like(u_flat)
-        out[...] = u_flat
-        res = np.empty((len(self.trg_tree.perm), self.ker_l2t.kdim1))
-        res[self.trg_tree.perm] = out
+        # overflow sideband slots
+        _, _, idx_t, val_t = self._ovf_idx
+        if self.Bo_t:
+            res_sorted[idx_t[val_t]] = np.asarray(u_ovf).reshape(
+                -1, k1)[val_t.reshape(-1)]
+        res = np.empty_like(res_sorted)
+        res[tt.perm] = res_sorted
         return res
 
     def _xmajor_inv(self):
@@ -206,7 +289,7 @@ class KIFMMDist:
             self._xmajor_inv_cache = np.argsort(self._xmajor[self.depth])
         return self._xmajor_inv_cache
 
-    def _eval_impl(self, fp, xs_l, ns_l, xt_l, ctr_l, data):
+    def _eval_impl(self, fp, fo, xs_l, ns_l, xt_l, ctr_l, data, dovf):
         """Per-shard slab computation (traced inside shard_map)."""
         ops = self._ops
         L = self.depth
@@ -235,6 +318,28 @@ class KIFMMDist:
         q_up = jnp.einsum("mn,bn->bm", jnp.asarray(data["uc2e_L"], dt),
                           u_check, precision=hi)
         q_up = q_up.reshape(planes, n2, ns)
+
+        # ---- S2M of overflow sources: replicated compute, scattered
+        # into the owner's slab (slot-2 sideband, kifmm.py layout) ----
+        if self.Bo_s:
+            xck_o = (jnp.asarray(data["surf_out_L"], dt)[None]
+                     + dovf["ctr_s"][:, None])
+            u_check_o = lax.map(
+                s2m_box, (xck_o, dovf["xs_o"], dovf["ns_o"],
+                          fo * dovf["val_s"][..., None]),
+                batch_size=max(1, min(self.Bo_s, 2048)))
+            u_check_o = u_check_o.reshape(self.Bo_s, -1) \
+                * self.ker_s2t.scale_factor
+            q_add = jnp.einsum("mn,bn->bm",
+                               jnp.asarray(data["uc2e_L"], dt),
+                               u_check_o, precision=hi)
+            pXYZ = dovf["xyz_s"]
+            pl_loc = pXYZ[:, 0] - idx * planes
+            okp = (pl_loc >= 0) & (pl_loc < planes)
+            cell = pXYZ[:, 1] * nside + pXYZ[:, 2]
+            q_up = q_up.at[jnp.where(okp, pl_loc, planes),
+                           cell].add(q_add * okp[:, None].astype(dt),
+                                     mode="drop")
 
         # ---- M2M upward: local while sharded, replicated when coarse --
         q_lvl = {L: q_up}
@@ -295,10 +400,17 @@ class KIFMMDist:
                                self.ker_l2t.kdim1)
                  * self.ker_l2t.scale_factor)
 
-        # ---- P2P: 27 neighbor shifts with 1-plane halo ----
-        xs_h = self._halo_x(xs_l, 1)
-        ns_h = self._halo_x(ns_l, 1)
-        fp_h = self._halo_x(fp, 1)
+        # ---- P2P: 27 neighbor shifts with 1-plane halo.  Points,
+        # normals and density travel CONCATENATED in one buffer — a
+        # single ppermute pair per apply instead of three (the
+        # reference batches ghost payloads into one Alltoallv,
+        # tree.txx:295+) ----
+        k0s = fp.shape[-1]
+        packed = jnp.concatenate([xs_l, ns_l, fp], axis=-1)
+        packed_h = self._halo_x(packed, 1)
+        xs_h = packed_h[..., :3]
+        ns_h = packed_h[..., 3:6]
+        fp_h = packed_h[..., 6:6 + k0s]
 
         def grid4(a):
             return a.reshape((a.shape[0], nside, nside)
@@ -336,8 +448,91 @@ class KIFMMDist:
                     u_near = u_near + u_d.reshape(u_near.shape)
         u_near = u_near * self.ker_s2t.scale_factor
 
+        offs27 = np.stack(np.meshgrid(*([[-1, 0, 1]] * 3),
+                                      indexing="ij"), -1).reshape(-1, 3)
+
+        def pair27(args):
+            xt_, xs_, nr_, fb = args
+            return self.ker_s2t.apply_pairwise(xt_, xs_, nr_, fb)
+
+        # ---- overflow sources -> padded targets of their 27
+        # neighbors (computed on the target owner; replicated source
+        # sideband) ----
+        if self.Bo_s:
+            TX = (dovf["xyz_s"][:, None, :]
+                  + jnp.asarray(offs27, jnp.int32)[None])
+            okg = jnp.all((TX >= 0) & (TX < nside), -1).reshape(-1)
+            TXf = TX.reshape(-1, 3)
+            tp = TXf[:, 0] - idx * planes
+            okl = okg & (tp >= 0) & (tp < planes)
+            tpc = jnp.clip(tp, 0, planes - 1)
+            ty = jnp.clip(TXf[:, 1], 0, nside - 1)
+            tz = jnp.clip(TXf[:, 2], 0, nside - 1)
+            xt5 = xt_l.reshape(planes, nside, nside, self.cap_t, 3)
+            xt_gath = xt5[tpc, ty, tz]         # (Bo*27, cap_t, 3)
+            o_rep = jnp.repeat(jnp.arange(self.Bo_s), 27)
+            fb = fo[o_rep] * okl[:, None, None].astype(dt)
+            u_d = lax.map(
+                pair27, (xt_gath, dovf["xs_o"][o_rep],
+                         dovf["ns_o"][o_rep], fb),
+                batch_size=max(1, min(self.Bo_s * 27, 2048)))
+            u_near = u_near.at[
+                jnp.where(okl, tpc, planes), ty, tz].add(
+                u_d * self.ker_s2t.scale_factor, mode="drop")
+
+        # ---- overflow targets: padded-source near field + L2T on the
+        # owner (psum'd), then the replicated ovf->ovf part ----
+        k1 = self.ker_l2t.kdim1
+        u_ovf = jnp.zeros((max(self.Bo_t, 1), self.cap2_t, k1), dt)
+        if self.Bo_t:
+            SX = (dovf["xyz_t"][:, None, :]
+                  + jnp.asarray(offs27, jnp.int32)[None])
+            okg2 = jnp.all((SX >= 0) & (SX < nside), -1).reshape(-1)
+            SXf = SX.reshape(-1, 3)
+            sp = SXf[:, 0] - idx * planes
+            okl2 = okg2 & (sp >= 0) & (sp < planes)
+            spc = jnp.clip(sp, 0, planes - 1)
+            syz = (jnp.clip(SXf[:, 1], 0, nside - 1) * nside
+                   + jnp.clip(SXf[:, 2], 0, nside - 1))
+            xs_gA = xs_l[spc, syz]             # (Bo_t*27, cap_s, 3)
+            ns_gA = ns_l[spc, syz]
+            fp_gA = fp[spc, syz] * okl2[:, None, None].astype(dt)
+            o2 = jnp.repeat(jnp.arange(self.Bo_t), 27)
+            u_d2 = lax.map(
+                pair27, (dovf["xt_o"][o2], xs_gA, ns_gA, fp_gA),
+                batch_size=max(1, min(self.Bo_t * 27, 2048)))
+            u_ovf = u_ovf.at[o2].add(u_d2 * self.ker_s2t.scale_factor)
+            # L2T from the (owner-local) down-equivalents
+            tpo = dovf["xyz_t"][:, 0] - idx * planes
+            okL = (tpo >= 0) & (tpo < planes)
+            cell_t = (dovf["xyz_t"][:, 1] * nside
+                      + dovf["xyz_t"][:, 2])
+            qd_o = (q_dn[jnp.clip(tpo, 0, planes - 1), cell_t]
+                    * okL[:, None].astype(dt))
+            xeq_o = (jnp.asarray(data["surf_out_L"], dt)[None]
+                     + dovf["ctr_t"][:, None])
+
+            def l2t_o(args):
+                xt_, xe, qd_ = args
+                return self.ker_l2t.apply_pairwise(
+                    xt_, xe, xe, qd_.reshape(-1, k0_l2t))
+
+            u_l2t = lax.map(l2t_o, (dovf["xt_o"], xeq_o, qd_o),
+                            batch_size=max(1, min(self.Bo_t, 2048)))
+            u_ovf = u_ovf + u_l2t * self.ker_l2t.scale_factor
+        u_ovf = lax.psum(u_ovf, self.axis)
+        if (self.Bo_s and self.Bo_t
+                and self.data_ovf["oo_pairs"].shape[0]):
+            oo = dovf["oo_pairs"]
+            u_oo = lax.map(
+                pair27, (dovf["xt_o"][oo[:, 1]], dovf["xs_o"][oo[:, 0]],
+                         dovf["ns_o"][oo[:, 0]], fo[oo[:, 0]]),
+                batch_size=max(1, min(int(oo.shape[0]), 2048)))
+            u_ovf = u_ovf.at[oo[:, 1]].add(
+                u_oo * self.ker_s2t.scale_factor)
+
         u = (u_far.reshape(u_near.shape) + u_near)
-        return u.reshape(planes, n2, self.cap_t, -1)
+        return u.reshape(planes, n2, self.cap_t, -1), u_ovf
 
     # -- level helpers -------------------------------------------------------
     def _m2m_local(self, q, lvl, data):
