@@ -342,16 +342,23 @@ def _stencil_kernel_body(tile_fn, nside, cap_s, cap_t, k0, k1,
         else:
             off = pl.multiple_of(z * cap_s, cap_s)
             pmask = None
-        us = None
+        # the 9 neighbor-column windows FUSED into one (3|k0, 9*S)
+        # source tile: every tile function is a lane reduction that is
+        # linear in source slots, so one T x 9S pairwise sweep replaces
+        # 9 T x S sweeps — amortizing the per-sweep VPU op overheads
+        # that dominated the unfused kernel (ROADMAP #1 column fusion)
+        xs_c, ns_c, f_c = [], [], []
         for c in range(9):
-            xs_t = xs_refs[c][0, 0, :, pl.ds(off, S)]
-            ns_t = ns_refs[c][0, 0, :, pl.ds(off, S)]
+            xs_c.append(xs_refs[c][0, 0, :, pl.ds(off, S)])
+            ns_c.append(ns_refs[c][0, 0, :, pl.ds(off, S)])
             f_t = f_refs[c][0, 0, :, pl.ds(off, S)] * valid[c]
             if pmask is not None:
                 f_t = f_t * pmask
-            u = tile_fn(xt_t, xs_t, ns_t, f_t)             # (T, k1)
-            us = u if us is None else us + u
-        out_ref[0, 0, z] = us
+            f_c.append(f_t)
+        xs_t = jnp.concatenate(xs_c, axis=1)
+        ns_t = jnp.concatenate(ns_c, axis=1)
+        f_t = jnp.concatenate(f_c, axis=1)
+        out_ref[0, 0, z] = tile_fn(xt_t, xs_t, ns_t, f_t)  # (T, k1)
         return 0
 
     lax.fori_loop(0, nside, body, 0)
