@@ -743,3 +743,77 @@ def _legendre_at(p: int, ct: np.ndarray):
                         / (4.0 * (l - 1.0) ** 2 - 1))
             P[m, l] = a * (ct * P[m, l - 1] - b * P[m, l - 2])
     return P
+
+
+# -- SHCArrange coefficient layouts (reference: sph_harm.hpp:21-36) ------
+
+class SHCArrange:
+    """The reference's three coefficient storage layouts.  Here the
+    (Ar, Ai) pair of degree-order (n, m) is this module's real-basis
+    pair (c_{n,m}, s_{n,m}) (the layouts are storage ARRANGEMENTS;
+    the reference's complex e^{imφ} pairing differs from the real
+    basis only by fixed per-m scalings that cancel in any
+    arrange -> rearrange roundtrip)."""
+    ALL = "ALL"                        # (p+1)^2 complex, row-major
+    ROW_MAJOR = "ROW_MAJOR"            # (p+1)(p+2)/2 complex, lower tri
+    COL_MAJOR_NONZERO = "COL_MAJOR_NONZERO"  # (p+1)^2 reals, col-major
+
+
+@functools.lru_cache(maxsize=None)
+def _arrange_maps(p: int, arrange: str):
+    """(gather, out_len): out[i] = packed[gather[i]] (or 0 where
+    gather < 0).  All three layouts are pure index maps of the packed
+    real coefficients."""
+    li, mi, si = _packed_index(p)      # packed slot k -> (l, m, c|s)
+    dim = (p + 1) ** 2
+    slot = np.full((2, p + 1, p + 1), -1, np.int64)   # (c|s, m, l)
+    slot[si, mi, li] = np.arange(dim)
+    if arrange == SHCArrange.ALL:
+        g = np.full(2 * (p + 1) ** 2, -1, np.int64)
+        i = 0
+        for n in range(p + 1):
+            for m in range(p + 1):
+                if m <= n:
+                    g[i] = slot[0, m, n]
+                    g[i + 1] = slot[1, m, n] if m else -1
+                i += 2
+        return g, len(g)
+    if arrange == SHCArrange.ROW_MAJOR:
+        out = []
+        for n in range(p + 1):
+            for m in range(n + 1):
+                out.append(slot[0, m, n])
+                out.append(slot[1, m, n] if m else -1)
+        return np.asarray(out, np.int64), len(out)
+    if arrange == SHCArrange.COL_MAJOR_NONZERO:
+        out = []
+        for m in range(p + 1):
+            out += [slot[0, m, n] for n in range(m, p + 1)]
+            if m:
+                out += [slot[1, m, n] for n in range(m, p + 1)]
+        return np.asarray(out, np.int64), len(out)
+    raise ValueError(f"unknown SHCArrange {arrange!r}")
+
+
+def shc_arrange(shc, p: int, arrange: str):
+    """Packed real coefficients (.., (p+1)^2) -> the requested
+    reference layout (reference: SHCArrange, sph_harm.hpp:21-36)."""
+    g, n = _arrange_maps(p, arrange)
+    xp = jnp if isinstance(shc, jnp.ndarray) else np
+    s = xp.concatenate([shc, xp.zeros(shc.shape[:-1] + (1,),
+                                      dtype=shc.dtype)], axis=-1)
+    gi = xp.asarray(np.where(g >= 0, g, shc.shape[-1]))
+    return s[..., gi]
+
+
+def shc_rearrange(data, p: int, arrange: str):
+    """Inverse of `shc_arrange`: layout -> packed real coefficients."""
+    g, n = _arrange_maps(p, arrange)
+    assert data.shape[-1] == n, (data.shape, n)
+    dim = (p + 1) ** 2
+    xp = jnp if isinstance(data, jnp.ndarray) else np
+    inv = np.full(dim, -1, np.int64)
+    valid = g >= 0
+    inv[g[valid]] = np.where(valid)[0]
+    assert (inv >= 0).all(), "layout does not cover the packed basis"
+    return data[..., xp.asarray(inv)]

@@ -401,3 +401,26 @@ def test_high_degree_roundtrip():
     dt = time.time() - t0
     np.testing.assert_allclose(back, s, atol=1e-10)
     assert dt < 60.0, f"p=128 roundtrip took {dt:.1f}s"
+
+
+def test_shc_arrange_layouts():
+    """The reference's three SHCArrange storage layouts roundtrip the
+    packed coefficients and have the documented sizes
+    (sph_harm.hpp:21-36)."""
+    from sctl_tpu.linalg.sph_harm import (SHCArrange, shc_arrange,
+                                          shc_rearrange)
+
+    p = 7
+    rng = np.random.default_rng(0)
+    shc = rng.normal(size=(2, (p + 1) ** 2))
+    for arr, n in ((SHCArrange.ALL, 2 * (p + 1) ** 2),
+                   (SHCArrange.ROW_MAJOR, (p + 1) * (p + 2)),
+                   (SHCArrange.COL_MAJOR_NONZERO, (p + 1) ** 2)):
+        lay = shc_arrange(shc, p, arr)
+        assert lay.shape == (2, n), (arr, lay.shape)
+        back = shc_rearrange(lay, p, arr)
+        np.testing.assert_allclose(back, shc)
+    # ALL stores explicit zeros in the absent Ai(n,0) and m>n slots
+    lay = np.asarray(shc_arrange(shc, p, SHCArrange.ALL))
+    assert np.all(lay[:, 1] == 0)                  # Ai(0,0)
+    assert np.all(lay[:, 2:4] == 0)                # A(0,1) (m > n)
