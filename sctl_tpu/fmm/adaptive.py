@@ -279,7 +279,8 @@ class AdaptiveFMM:
                  max_pts: int = 256,
                  ker_l2t: Optional[KernelSpec] = None,
                  ker_s2m: Optional[KernelSpec] = None,
-                 dtype=None):
+                 dtype=None, use_pallas_ulist: Optional[bool] = None):
+        import jax
         from .kifmm import KIFMM
         # reuse KIFMM's kernel-role deduction
         proto = KIFMM(ker_s2t, p=p, ker_l2t=ker_l2t, ker_s2m=ker_s2m,
@@ -291,6 +292,12 @@ class AdaptiveFMM:
         self.p = p
         self.max_pts = max_pts
         self.dtype = proto.dtype
+        # U list through the per-box Pallas kernel on real TPU (the
+        # reference hot loop, generic-kernel.txx:76-189); XLA
+        # apply_pairwise elsewhere
+        if use_pallas_ulist is None:
+            use_pallas_ulist = jax.default_backend() in ("tpu", "axon")
+        self.use_pallas_ulist = use_pallas_ulist
 
     # -- setup -----------------------------------------------------------
     def setup(self, x_src, x_trg, n_src=None):
@@ -765,6 +772,40 @@ class AdaptiveFMM:
         # U: direct near field over adjacent-leaf slabs
         ulist = data["ulist"]                        # (n_leaf, u_cap)
         Ku = ulist.shape[1]
+        if self.use_pallas_ulist and shard is None:
+            # per-box Pallas U-list kernel (ops/pallas_p2p.p2p_ulist):
+            # targets in sublanes, gathered source slabs in lanes —
+            # chunked over leaves so the gathered (G, 3, S) arrays
+            # stay bounded
+            from ..ops.pallas_p2p import p2p_ulist
+            S0 = Ku * self.cap_s
+            S = -(-S0 // 128) * 128
+            Tp = -(-self.cap_t // 8) * 8
+            k0s = fp.shape[-1]
+            chunk = max(1, min(n_leaf, max(1, (1 << 22) // max(S, 1))))
+            u_parts = []
+            for g0 in range(0, n_leaf, chunk):
+                g1 = min(g0 + chunk, n_leaf)
+                rows_c = ulist[g0:g1]                # (G, Ku)
+                ok = rows_c >= 0
+                rc = jnp.where(ok, rows_c, 0)
+                xs_b = xs_pad[rc].reshape(g1 - g0, S0, 3)
+                ns_b = ns_pad[rc].reshape(g1 - g0, S0, 3)
+                f_b = (fp[rc] * ok[:, :, None, None].astype(dt)
+                       ).reshape(g1 - g0, S0, k0s)
+                pad = ((0, 0), (0, S - S0), (0, 0))
+                xs_b = jnp.pad(xs_b, pad).transpose(0, 2, 1)
+                ns_b = jnp.pad(ns_b, pad).transpose(0, 2, 1)
+                f_b = jnp.pad(f_b, pad).transpose(0, 2, 1)
+                xt_b = jnp.pad(xt_pad[g0:g1],
+                               ((0, 0), (0, Tp - self.cap_t), (0, 0))
+                               ).transpose(0, 2, 1)
+                u_c = p2p_ulist(self.ker_s2t, xt_b, xs_b, ns_b, f_b)
+                u_parts.append(u_c[:, :self.cap_t])
+            u_near = jnp.concatenate(u_parts, axis=0)
+            u_out = u_out + u_near * self.ker_s2t.scale_factor
+            return u_out
+
         blk = my_block(n_leaf)
         okb = blk >= 0
         lid = jnp.where(okb, blk, 0)
@@ -809,7 +850,7 @@ class AdaptiveFMM:
             fn = shard_map(
                 functools.partial(self._eval_impl, shard=(ndev, ax)),
                 mesh=mesh, in_specs=(P(), P()), out_specs=P(),
-                check_rep=False)
+                check_vma=False)
             self._eval_sharded_jit = jax.jit(fn)
             self._eval_sharded_key = key
         with profile.Profile.scoped("AdaptiveFMM::EvalSharded"):

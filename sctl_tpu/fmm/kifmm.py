@@ -523,6 +523,7 @@ class KIFMM:
                  dtype=None,
                  use_pallas_p2p: Optional[bool] = None,
                  use_pallas_m2l: Optional[bool] = None,
+                 use_pallas_sl: Optional[bool] = None,
                  rcond: Optional[float] = None,
                  hiprec: bool = False):
         import jax
@@ -545,6 +546,14 @@ class KIFMM:
         if use_pallas_m2l is None:
             use_pallas_m2l = jax.default_backend() in ("tpu", "axon")
         self.use_pallas_m2l = use_pallas_m2l
+        # S2M check potentials + L2T through the per-box Pallas U-list
+        # kernel (targets in sublanes, surface/leaf slabs in lanes):
+        # the pairwise (T, S) intermediates stay in VMEM instead of
+        # lax.map'd XLA chunks (ROADMAP #2; hot loop spec
+        # generic-kernel.txx:76-189)
+        if use_pallas_sl is None:
+            use_pallas_sl = use_pallas_p2p
+        self.use_pallas_sl = use_pallas_sl
         self.ker_s2t = ker_s2t
         if ker_s2t.name.startswith("Stokes"):
             self.ker_trans = Stokes3D_FSxU
@@ -930,13 +939,30 @@ class KIFMM:
         # ---- S2M: leaf check potentials -> up equivalents ----
         xck = data["surf_out_L"][None] + ctr[:, None, :]      # (B,ns,3)
 
-        def s2m_box(args):
-            xc, xs, nsrm, fb = args
-            return self.ker_s2m.apply_pairwise(xc, xs, nsrm, fb)
+        if self.use_pallas_sl:
+            # per-box Pallas tile: surface points ride sublanes, the
+            # leaf source slab rides lanes; zero-density padded slots
+            # are inert (masked rsqrt zeroes coincident pairs)
+            from ..ops.pallas_p2p import p2p_ulist
+            nsf = ops.n_surf
+            T8 = -(-nsf // 8) * 8
+            S128 = -(-self.cap_s // 128) * 128
+            padS = ((0, 0), (0, S128 - self.cap_s), (0, 0))
+            u_check = p2p_ulist(
+                self.ker_s2m,
+                jnp.pad(xck, ((0, 0), (0, T8 - nsf), (0, 0))
+                        ).transpose(0, 2, 1),
+                jnp.pad(xs_pad, padS).transpose(0, 2, 1),
+                jnp.pad(ns_pad, padS).transpose(0, 2, 1),
+                jnp.pad(fp, padS).transpose(0, 2, 1))[:, :nsf]
+        else:
+            def s2m_box(args):
+                xc, xs, nsrm, fb = args
+                return self.ker_s2m.apply_pairwise(xc, xs, nsrm, fb)
 
-        u_check = lax.map(s2m_box,
-                          (xck, xs_pad, ns_pad, fp),
-                          batch_size=max(1, min(B, 4096)))
+            u_check = lax.map(s2m_box,
+                              (xck, xs_pad, ns_pad, fp),
+                              batch_size=max(1, min(B, 4096)))
         # (B, n_surf, k1t) -> (B, n_surf*k1t), target-major like _kmat
         u_check = u_check.reshape(B, -1) * self.ker_s2m.scale_factor
         if Os:  # slot-2 sources contribute to their box's multipole
@@ -1095,13 +1121,27 @@ class KIFMM:
 
         k0_l2t = self.ker_l2t.kdim0
 
-        def l2t_box(args):
-            xt, xe, qd = args
-            return self.ker_l2t.apply_pairwise(
-                xt, xe, xe, qd.reshape(-1, k0_l2t))
+        if self.use_pallas_sl:
+            # per-box Pallas tile: leaf targets in sublanes, the
+            # down-equivalent surface slab in lanes (zero-padded
+            # surface slots carry zero density)
+            from ..ops.pallas_p2p import p2p_ulist
+            nsf = ops.n_surf
+            S128 = -(-nsf // 128) * 128
+            padS = ((0, 0), (0, S128 - nsf), (0, 0))
+            xeq_T = jnp.pad(xeq, padS).transpose(0, 2, 1)
+            q_T = jnp.pad(q_dn.reshape(B, nsf, k0_l2t),
+                          padS).transpose(0, 2, 1)
+            u_far = p2p_ulist(self.ker_l2t, xt_pad.transpose(0, 2, 1),
+                              xeq_T, xeq_T, q_T)
+        else:
+            def l2t_box(args):
+                xt, xe, qd = args
+                return self.ker_l2t.apply_pairwise(
+                    xt, xe, xe, qd.reshape(-1, k0_l2t))
 
-        u_far = lax.map(l2t_box, (xt_pad, xeq, q_dn),
-                        batch_size=max(1, min(B, 4096)))
+            u_far = lax.map(l2t_box, (xt_pad, xeq, q_dn),
+                            batch_size=max(1, min(B, 4096)))
         u_far = u_far * self.ker_l2t.scale_factor        # (B, Ct, k1)
 
         # ---- P2P near field ----

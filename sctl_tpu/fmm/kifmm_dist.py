@@ -126,19 +126,24 @@ class KIFMMDist:
         ctr = self.src_tree.box_centers()
         self.ctr_g = grid(ctr)
         self._setup_overflow(n_src, ctr)
-        # operators (replicated)
+        # operators (replicated); M2L travels in the two-sided
+        # compressed (U, A_d, V) + per-parity factored form the
+        # single-chip engine uses (kifmm.py:_m2l_sweep)
+        from .kifmm import KIFMM
         rep = NamedSharding(self.mesh, P())
         cast = lambda a: jax.device_put(jnp.asarray(a, dt), rep)
+        casti = lambda a: jax.device_put(jnp.asarray(a), rep)
         self.data_rep = {
             "uc2e_L": cast(ops.uc2e[L]),
             "m2m": tuple(cast(a) for a in ops.m2m),
             "l2l": tuple(cast(a) for a in ops.l2l),
-            "m2l": tuple(cast(a) for a in ops.m2l),
+            "m2l_u": tuple(cast(a) for a in ops.m2l_u),
+            "m2l_v": tuple(cast(a) for a in ops.m2l_v),
+            "m2l_a": tuple(cast(a) for a in ops.m2l_a),
             "surf_out_L": cast(ops.surf_out[L]),
-            "offsets": jax.device_put(
-                jnp.asarray(ops.offsets, jnp.int32), rep),
-            "pvalid": cast(ops.parity_valid.T.astype(np.float64)),
         }
+        self.data_rep.update({k: casti(v) for k, v in
+                              KIFMM._parity_tables(ops).items()})
         self._eval_jit = None
         return self
 
@@ -579,47 +584,61 @@ class KIFMMDist:
         return qg.reshape(pl * 2, (n_p * 2) ** 2, ns)
 
     def _m2l_level(self, q, lvl, sharded, data):
-        """Masked 316-offset M2L on the (possibly sharded) grid."""
-        ops = self._ops
+        """Per-parity two-sided-compressed M2L on the (possibly
+        sharded) slab — the single-chip factored-grid form
+        (kifmm.py:_m2l_sweep): project onto the joint row basis V
+        once, per child parity run 189 contiguous shifted-block GEMMs
+        in the compressed (r x r2) space, expand with U after.
+        Sharded levels exchange a 2-h-plane halo on the h-grid x axis
+        (local plane counts are even — powers of two over powers of
+        two — so the local parity split always aligns)."""
         n_l = 1 << lvl
         ns = q.shape[2]
         dt = q.dtype
         pl = q.shape[0]
+        h = n_l // 2
+        hl = pl // 2
+        hi = lax.Precision.HIGHEST
         qg = q.reshape(pl, n_l, n_l, ns)
-        pad = 3
+        V = jnp.asarray(data["m2l_v"][lvl], dt)
+        U = jnp.asarray(data["m2l_u"][lvl], dt)
+        r = U.shape[1]
+        r2 = V.shape[1]
+        qr = jnp.einsum("xyzn,nk->xyzk", qg, V, precision=hi)
+        # keep x h-planes leading for the halo: (hl, 2, h, 2, h, 2, r2)
+        q7 = qr.reshape(hl, 2, h, 2, h, 2, r2)
+        pad = 2
         if sharded:
-            qx = self._halo_x(qg, pad)
+            q7 = self._halo_x(q7, pad)
         else:
-            qx = jnp.pad(qg, ((pad, pad), (0, 0), (0, 0), (0, 0)))
-        qp = jnp.pad(qx, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+            q7 = jnp.pad(q7, ((pad, pad),) + ((0, 0),) * 6)
+        qp = q7.transpose(1, 3, 5, 0, 2, 4, 6)  # (2,2,2,hl+4,h,h,r2)
+        qp = jnp.pad(qp, ((0, 0),) * 3 + ((0, 0), (pad, pad),
+                                          (pad, pad), (0, 0)))
+        mats_all = jnp.asarray(data["m2l_a"][lvl], dt)   # (316, r, r2)
+        outs = []
+        for c in range(8):
+            ebs = data["m2l_ebs"][c]                # (189, 3)
+            eps = data["m2l_eps"][c]
+            mats = mats_all[data["m2l_vidx"][c]]
 
-        # parity of local x planes depends on the slab offset
-        if sharded:
-            x0 = lax.axis_index(self.axis) * pl
-        else:
-            x0 = 0
-        xs_par = (jnp.arange(pl) + x0) & 1
-        ys = np.arange(n_l) & 1
-        par = (xs_par[:, None, None] * 4
-               + jnp.asarray(ys)[None, :, None] * 2
-               + jnp.asarray(ys)[None, None, :])   # (pl, n, n)
+            def m2l_step(acc, blk, hl=hl, h=h, r2=r2):
+                eb, ep, mat = blk                   # mat (r, r2)
+                sl = lax.dynamic_slice(
+                    qp, (ep[0], ep[1], ep[2], 2 + eb[0], 2 + eb[1],
+                         2 + eb[2], jnp.int32(0)),
+                    (1, 1, 1, hl, h, h, r2)).reshape(hl, h, h, r2)
+                return acc + jnp.einsum("xyzn,rn->xyzr", sl, mat,
+                                        precision=hi), None
 
-        offsets = jnp.asarray(data["offsets"], jnp.int32)
-        m2l = jnp.asarray(data["m2l"][lvl], dt)
-        pvalid = jnp.asarray(data["pvalid"], dt)    # (8, 316)
-
-        def step(acc, blk):
-            d, mat, pv = blk                        # pv: (8,) validity
-            sl = lax.dynamic_slice(
-                qp, (pad + d[0], pad + d[1], pad + d[2],
-                     jnp.int32(0)), (pl, n_l, n_l, ns))
-            contrib = jnp.einsum("xyzn,mn->xyzm", sl, mat,
-                                 precision=lax.Precision.HIGHEST)
-            return acc + contrib * pv[par][..., None], None
-
-        acc0 = jnp.zeros((pl, n_l, n_l, ns), dtype=dt)
-        acc, _ = lax.scan(step, acc0, (offsets, m2l, pvalid))
-        return acc.reshape(pl, n_l * n_l, ns)
+            acc0 = jnp.zeros((hl, h, h, r), dt)
+            acc, _ = lax.scan(m2l_step, acc0, (ebs, eps, mats))
+            outs.append(jnp.einsum("xyzr,nr->xyzn", acc, U,
+                                   precision=hi))
+        out = jnp.stack(outs).reshape(2, 2, 2, hl, h, h, ns)
+        out = out.transpose(3, 0, 4, 1, 5, 2, 6).reshape(
+            pl, n_l, n_l, ns)
+        return out.reshape(pl, n_l * n_l, ns)
 
 
 def _shift_yz(a, dy, dz):

@@ -303,3 +303,43 @@ def test_adaptive_fmm_dist_memory_sharded(mesh8):
     fs = AdaptiveFMM(Laplace3D_FxU, p=6, max_pts=64).setup(xs, xs)
     u_ref = fs.eval(f)
     assert np.abs(u - u_ref).max() / np.abs(u_ref).max() < 1e-8
+
+
+def test_adaptive_fmm_pallas_ulist():
+    """AdaptiveFMM with the U list routed through the per-box Pallas
+    kernel (interpret mode on CPU) matches the dense direct sum."""
+    from sctl_tpu.fmm import AdaptiveFMM
+    from sctl_tpu.ops.kernels_np import full_matrix_np
+
+    rng = np.random.default_rng(8)
+    n = 1500
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    f = rng.normal(size=(n, 1))
+    u_d = (full_matrix_np(Laplace3D_FxU, d, d).T
+           @ f.ravel()).reshape(n, 1)
+    fm = AdaptiveFMM(Laplace3D_FxU, p=6, max_pts=64,
+                     use_pallas_ulist=True).setup(d, d)
+    u = fm.eval(f)
+    rel = np.abs(u - u_d).max() / np.abs(u_d).max()
+    assert rel < 5e-5, rel
+
+
+def test_kifmm_pallas_s2m_l2t():
+    """KIFMM with S2M/L2T routed through the per-box Pallas U-list
+    kernel (interpret mode on CPU; ROADMAP #2) matches the dense
+    direct sum at the p=6 rung."""
+    from sctl_tpu.fmm import KIFMM
+    from sctl_tpu.ops.kernels_np import full_matrix_np
+
+    rng = np.random.default_rng(21)
+    n = 2000
+    x = rng.random((n, 3))
+    f = rng.normal(size=(n, 1))
+    u_d = (full_matrix_np(Laplace3D_FxU, x, x).T
+           @ f.ravel()).reshape(n, 1)
+    kf = KIFMM(Laplace3D_FxU, p=6, depth=3, use_pallas_p2p=False,
+               use_pallas_m2l=False, use_pallas_sl=True).setup(x, x)
+    u = kf.eval(f)
+    rel = np.abs(u - u_d).max() / np.abs(u_d).max()
+    assert rel < 5e-5, rel
