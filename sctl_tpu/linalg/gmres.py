@@ -457,6 +457,169 @@ def _make_gmres_cycle(A, b, abs_tol, N, m, dtype):
     return cycle
 
 
+def fgmres(A: Callable, b, M: Callable, tol: float = 1e-10,
+           max_iter: Optional[int] = None, use_abs_tol: bool = False,
+           x0=None, verbose: bool = False) -> Tuple[jax.Array, int]:
+    """Flexible GMRES (Saad 1993): right preconditioning by an
+    operator ``M(v, k) -> z`` that may CHANGE per iteration k — e.g. an
+    inner iterative solve run to a loose tolerance, or a cycling
+    multilevel sweep.  GMRES with KrylovPrecond (lin-solve.hpp:21-64)
+    requires a fixed linear P; FGMRES lifts that restriction by
+    storing the preconditioned vectors Z_k = M(q_k, k) alongside the
+    Arnoldi basis and updating x += Z y instead of P(Q y).
+
+    M is called OUTSIDE jit with (q_k, k); it may itself run jitted
+    code (e.g. ``gmres_device`` as an inner solver).  Memory: one
+    extra (max_iter, N) buffer for Z.
+
+    Returns (x, iterations)."""
+    N = b.shape[0]
+    dtype = b.dtype
+    if max_iter is None:
+        max_iter = min(int(N), 500)
+    max_iter = min(max_iter, int(N))
+
+    if x0 is not None:
+        r = b - A(x0)
+        x = x0
+    else:
+        r = b
+        x = jnp.zeros_like(b)
+
+    b_norm = float(jnp.sqrt(jnp.vdot(b, b)))
+    abs_tol = tol * (1.0 if use_abs_tol else b_norm)
+    r_norm = float(jnp.sqrt(jnp.vdot(r, r)))
+    if r_norm <= abs_tol or r_norm == 0.0:
+        return x, 0
+
+    Q = jnp.zeros((max_iter + 1, N), dtype=dtype)
+    Q = Q.at[0].set(r / r_norm)
+    Z = jnp.zeros((max_iter, N), dtype=dtype)
+
+    H = np.zeros((max_iter + 1, max_iter))
+    cs = np.zeros(max_iter)
+    sn = np.zeros(max_iter)
+    beta = np.zeros(max_iter + 1)
+    beta[0] = r_norm
+
+    k = 0
+    error = r_norm
+    while k < max_iter and error > abs_tol:
+        if verbose:
+            print(f"{k:3d} KSP Residual norm {error:.12e}")
+        z = M(Q[k], k)
+        Z = Z.at[k].set(z)
+        w = A(z)
+        h, q_new, h_norm = _arnoldi_cgs2(Q, w)
+        Q = Q.at[k + 1].set(q_new)
+        h_host = np.asarray(h)
+        hk = np.zeros(k + 2)
+        hk[:k + 1] = h_host[:k + 1]
+        hk[k + 1] = float(h_norm)
+        for i in range(k):
+            t = cs[i] * hk[i] + sn[i] * hk[i + 1]
+            hk[i + 1] = -sn[i] * hk[i] + cs[i] * hk[i + 1]
+            hk[i] = t
+        t = np.hypot(hk[k], hk[k + 1])
+        cs[k], sn[k] = hk[k] / t, hk[k + 1] / t
+        hk[k] = cs[k] * hk[k] + sn[k] * hk[k + 1]
+        hk[k + 1] = 0.0
+        H[:k + 2, k] = hk
+        beta[k + 1] = -sn[k] * beta[k]
+        beta[k] = cs[k] * beta[k]
+        error = abs(beta[k + 1])
+        k += 1
+    if verbose:
+        print(f"{k:3d} KSP Residual norm {error:.12e}")
+
+    y = np.zeros(k)
+    for i in range(k - 1, -1, -1):
+        y[i] = (beta[i] - H[i, i + 1:k] @ y[i + 1:k]) / H[i, i]
+    return x + jnp.dot(jnp.asarray(y, dtype=dtype), Z[:k]), k
+
+
+def fgmres_device(A: Callable, b, M: Callable, tol: float = 1e-10,
+                  max_iter: int = 100, x0=None,
+                  use_abs_tol: bool = False):
+    """Fully device-resident FGMRES(m): like `gmres_device` but the
+    right preconditioner ``M(v, k)`` is a TRACEABLE callable that may
+    depend on the iteration index k (a traced int32) — variable
+    preconditioning inside one compiled while_loop.  Stores the
+    preconditioned basis Z (one extra (m, N) buffer) and forms
+    x += y @ Z.  Returns (x, iters, residual_norm)."""
+    from jax import lax
+
+    N = b.shape[0]
+    dtype = b.dtype
+    m = int(min(max_iter, N))
+
+    b_norm = jnp.sqrt(jnp.vdot(b, b))
+    abs_tol = tol * jnp.where(use_abs_tol, 1.0, b_norm)
+    x0v = jnp.zeros_like(b) if x0 is None else x0
+
+    def cond(state):
+        k, _, _, _, _, _, _, err = state
+        return (k < m) & (err > abs_tol)
+
+    def body(state):
+        k, Q, Z, H, cs, sn, beta, _ = state
+        z = M(jnp.take(Q, k, axis=0), k)
+        Z2 = Z.at[k].set(z)
+        w = A(z)
+        h1 = Q @ w
+        w = w - h1 @ Q
+        h2 = Q @ w
+        w = w - h2 @ Q
+        h = h1 + h2
+        h_norm = jnp.sqrt(jnp.vdot(w, w))
+        Q2 = Q.at[k + 1].set(w / jnp.where(h_norm > 0, h_norm, 1.0))
+        i = jnp.arange(m + 1)
+        hk = jnp.where(i <= k, h, 0.0).at[k + 1].set(h_norm)
+
+        def rot(j, hk):
+            a = hk[j]
+            bj = hk[j + 1]
+            do = j < k
+            t = jnp.where(do, cs[j] * a + sn[j] * bj, a)
+            u = jnp.where(do, -sn[j] * a + cs[j] * bj, bj)
+            return hk.at[j].set(t).at[j + 1].set(u)
+
+        hk = lax.fori_loop(0, m, rot, hk)
+        hkk = jnp.take(hk, k)
+        hk1 = jnp.take(hk, k + 1)
+        t = jnp.sqrt(hkk * hkk + hk1 * hk1)
+        tsafe = jnp.where(t > 0, t, 1.0)
+        ck = jnp.where(t > 0, hkk / tsafe, 1.0)
+        sk = jnp.where(t > 0, hk1 / tsafe, 0.0)
+        hk = hk.at[k].set(ck * hkk + sk * hk1).at[k + 1].set(0.0)
+        bk = jnp.take(beta, k)
+        beta2 = beta.at[k + 1].set(-sk * bk).at[k].set(ck * bk)
+        err = jnp.abs(jnp.take(beta2, k + 1))
+        return (k + 1, Q2, Z2, H.at[:, k].set(hk), cs.at[k].set(ck),
+                sn.at[k].set(sk), beta2, err)
+
+    r = b - A(x0v)
+    r_norm = jnp.sqrt(jnp.vdot(r, r))
+    Q = jnp.zeros((m + 1, N), dtype=dtype)
+    Q = Q.at[0].set(jnp.where(r_norm > 0, 1.0, 0.0) * r
+                    / jnp.where(r_norm > 0, r_norm, 1.0))
+    Z = jnp.zeros((m, N), dtype=dtype)
+    H = jnp.zeros((m + 1, m), dtype=dtype)
+    cs = jnp.zeros(m, dtype=dtype)
+    sn = jnp.zeros(m, dtype=dtype)
+    beta = jnp.zeros(m + 1, dtype=dtype).at[0].set(r_norm)
+    state0 = (jnp.int32(0), Q, Z, H, cs, sn, beta, r_norm)
+    k, Q, Z, H, cs, sn, beta, err = lax.while_loop(cond, body, state0)
+
+    i = jnp.arange(m)
+    Hm = H[:m, :m]
+    Hm = jnp.where((i[:, None] < k) & (i[None, :] < k), Hm,
+                   jnp.eye(m, dtype=dtype))
+    rhs = jnp.where(i < k, beta[:m], 0.0)
+    y = jax.scipy.linalg.solve_triangular(Hm, rhs, lower=False)
+    return x0v + y @ Z, k, err
+
+
 class GMRES:
     """Class facade mirroring the reference API
     (GMRES<Real>(comm, verbose); operator())."""

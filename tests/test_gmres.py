@@ -228,3 +228,62 @@ def test_gmres_device_recycle_in_loop():
     resp = np.linalg.norm(A @ np.asarray(xp) - b2)
     assert resp < 1e-8 * np.linalg.norm(b2)
     assert int(itp) < int(it0)
+
+
+def test_fgmres_variable_preconditioner():
+    """FGMRES converges with a preconditioner that CHANGES per
+    iteration (an inner Jacobi sweep whose depth varies with k) —
+    the case plain right-preconditioned GMRES cannot express — and
+    matches the unpreconditioned solution."""
+    import jax.numpy as jnp
+    from sctl_tpu.linalg.gmres import fgmres, gmres
+
+    rng = np.random.default_rng(3)
+    n = 80
+    A = np.diag(np.linspace(1.0, 20.0, n)) + 0.1 * rng.normal(size=(n, n))
+    op = lambda v: jnp.asarray(A) @ v
+    b = rng.normal(size=n)
+    d = jnp.asarray(np.diag(A))
+
+    def M(v, k):
+        # k-dependent inner sweep: one extra Jacobi step every 3 iters
+        z = v / d
+        for _ in range((k % 3) + 1):
+            z = z + (v - op(z)) / d
+        return z
+
+    x, it = fgmres(op, jnp.asarray(b), M, tol=1e-10, max_iter=80)
+    res = np.linalg.norm(A @ np.asarray(x) - b)
+    assert res < 1e-8 * np.linalg.norm(b)
+
+    x0, it0 = gmres(op, jnp.asarray(b), tol=1e-10, max_iter=80)
+    assert it <= it0
+    assert np.allclose(np.asarray(x), np.asarray(x0), atol=1e-7)
+
+
+def test_fgmres_device_matches_host():
+    """Device-resident FGMRES (traceable k-dependent preconditioner
+    inside one while_loop) reaches the same solution as the host
+    variant."""
+    import jax
+    import jax.numpy as jnp
+    from sctl_tpu.linalg.gmres import fgmres_device
+
+    rng = np.random.default_rng(4)
+    n = 60
+    A = np.diag(np.linspace(1.0, 10.0, n)) + 0.05 * rng.normal(size=(n, n))
+    Aj = jnp.asarray(A)
+    b = rng.normal(size=n)
+    d = jnp.asarray(np.diag(A))
+
+    def M(v, k):
+        # traced k: blend of Jacobi and identity that shifts with k
+        w = 1.0 / (1.0 + 0.1 * k.astype(v.dtype))
+        return w * (v / d) + (1.0 - w) * v
+
+    fn = jax.jit(lambda bb: fgmres_device(
+        lambda v: Aj @ v, bb, M, tol=1e-10, max_iter=60))
+    x, it, err = fn(jnp.asarray(b))
+    res = np.linalg.norm(A @ np.asarray(x) - b)
+    assert res < 1e-8 * np.linalg.norm(b)
+    assert float(err) < 1e-10 * np.linalg.norm(b) * 1.01
