@@ -620,6 +620,71 @@ def fgmres_device(A: Callable, b, M: Callable, tol: float = 1e-10,
     return x0v + y @ Z, k, err
 
 
+def gmres_ld(A: Callable, b, tol: float = 1e-16,
+             max_iter: Optional[int] = None, use_abs_tol: bool = False,
+             verbose: bool = False):
+    """Host longdouble GMRES — the reference's long-double solver
+    configuration (GMRES<long double>, src/test-gmres.cpp:1-20;
+    QuadReal support math_utils.hpp:236-300).  Converges below the f64
+    residual floor (~1e-15); pairs with the extended-precision FMM
+    path (`fmm.KIFMMLd`) for accuracy-critical solves.
+
+    A maps longdouble (N,) -> (N,) (numpy).  Pure numpy MGS Arnoldi +
+    Givens least squares, all in np.longdouble.  Returns (x, iters)."""
+    b = np.asarray(b, np.longdouble)
+    N = b.shape[0]
+    if max_iter is None:
+        max_iter = min(int(N), 500)
+    max_iter = min(max_iter, int(N))
+
+    b_norm = float(np.sqrt(b @ b))
+    abs_tol = tol * (1.0 if use_abs_tol else b_norm)
+    r = b
+    x = np.zeros(N, np.longdouble)
+    r_norm = float(np.sqrt(r @ r))
+    if r_norm <= abs_tol or r_norm == 0.0:
+        return x, 0
+
+    Q = np.zeros((max_iter + 1, N), np.longdouble)
+    Q[0] = r / r_norm
+    H = np.zeros((max_iter + 1, max_iter), np.longdouble)
+    cs = np.zeros(max_iter, np.longdouble)
+    sn = np.zeros(max_iter, np.longdouble)
+    beta = np.zeros(max_iter + 1, np.longdouble)
+    beta[0] = r_norm
+
+    k = 0
+    error = r_norm
+    while k < max_iter and error > abs_tol:
+        if verbose:
+            print(f"{k:3d} KSP Residual norm {float(error):.12e}")
+        w = np.asarray(A(Q[k]), np.longdouble)
+        for i in range(k + 1):          # modified Gram-Schmidt
+            H[i, k] = Q[i] @ w
+            w = w - H[i, k] * Q[i]
+        H[k + 1, k] = np.sqrt(w @ w)
+        Q[k + 1] = w / (H[k + 1, k] if H[k + 1, k] > 0 else 1.0)
+        for i in range(k):
+            t = cs[i] * H[i, k] + sn[i] * H[i + 1, k]
+            H[i + 1, k] = -sn[i] * H[i, k] + cs[i] * H[i + 1, k]
+            H[i, k] = t
+        t = np.sqrt(H[k, k] ** 2 + H[k + 1, k] ** 2)
+        cs[k], sn[k] = H[k, k] / t, H[k + 1, k] / t
+        H[k, k] = cs[k] * H[k, k] + sn[k] * H[k + 1, k]
+        H[k + 1, k] = 0.0
+        beta[k + 1] = -sn[k] * beta[k]
+        beta[k] = cs[k] * beta[k]
+        error = abs(float(beta[k + 1]))
+        k += 1
+    if verbose:
+        print(f"{k:3d} KSP Residual norm {float(error):.12e}")
+
+    y = np.zeros(k, np.longdouble)
+    for i in range(k - 1, -1, -1):
+        y[i] = (beta[i] - H[i, i + 1:k] @ y[i + 1:k]) / H[i, i]
+    return x + y @ Q[:k], k
+
+
 class GMRES:
     """Class facade mirroring the reference API
     (GMRES<Real>(comm, verbose); operator())."""

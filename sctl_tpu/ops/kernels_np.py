@@ -36,9 +36,16 @@ def full_matrix_np(ker: KernelSpec, xt: np.ndarray, xs: np.ndarray,
 def block_matrix_np(ker: KernelSpec, xt: np.ndarray, xs: np.ndarray,
                     ns=None) -> np.ndarray:
     """(T, S, k0, k1) kernel blocks, scale factor included — the
-    batched-target form used by the BIE near-setup waves."""
-    xt = np.atleast_2d(np.asarray(xt, np.float64))
-    xs = np.atleast_2d(np.asarray(xs, np.float64))
+    batched-target form used by the BIE near-setup waves.
+
+    Longdouble inputs stay longdouble (the QuadReal-path precompute,
+    math_utils.hpp:236-300); everything else computes in f64."""
+    dt = (np.longdouble
+          if (np.asarray(xt).dtype == np.longdouble
+              or np.asarray(xs).dtype == np.longdouble)
+          else np.float64)
+    xt = np.atleast_2d(np.asarray(xt, dt))
+    xs = np.atleast_2d(np.asarray(xs, dt))
     d, rinv = _geom(xt, xs)                        # d: (T,S,3)
     if ns is not None:
         ns = np.broadcast_to(np.asarray(ns), d.shape)
@@ -51,7 +58,9 @@ def offset_blocks_np(ker: KernelSpec, d: np.ndarray, rinv=None,
     d = xt - xs (..., 3) (and optional per-pair source normals of the
     same shape) — the paired form for quadratures whose source set
     differs per target (batched Duffy near-setup)."""
-    d = np.asarray(d, np.float64)
+    d = np.asarray(d, np.longdouble
+                   if np.asarray(d).dtype == np.longdouble
+                   else np.float64)
     if rinv is None:
         r2 = (d * d).sum(-1)
         rinv = np.where(r2 > 0,

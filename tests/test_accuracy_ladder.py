@@ -63,3 +63,33 @@ def test_bie_gmres_residual_1e10():
     x, iters = gmres(A, b, tol=1e-10, max_iter=200)
     r = np.asarray(A(x)) - np.asarray(b)
     assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 1e-9
+
+
+def test_kifmm_ld_extended_precision_path():
+    """The longdouble host path (KIFMMLd — the reference's QuadReal /
+    long-double FMM configuration, math_utils.hpp:236-300,
+    src/test-fmm.cpp) matches a longdouble dense direct sum at the
+    p=8 truncation rung, for both monopole and dipole (normals)
+    sources, exercising S2M/M2M/M2L/L2L/L2T/P2P in extended
+    precision."""
+    from sctl_tpu.fmm.kifmm_ld import KIFMMLd, _kmat_ld
+    from sctl_tpu.ops import Laplace3D_DxU
+
+    rng = np.random.default_rng(7)
+    n = 900
+    x = rng.random((n, 3))
+    f = rng.normal(size=(n, 1))
+    ud = np.float64((_kmat_ld(Laplace3D_FxU, x, x)
+                     @ f.astype(np.longdouble).ravel()).reshape(n, 1))
+    kf = KIFMMLd(Laplace3D_FxU, p=8, depth=3, rcond=1e-11).setup(x, x)
+    rel = np.abs(kf.eval(f) - ud).max() / np.abs(ud).max()
+    assert rel < 1e-6, rel
+
+    ns = rng.normal(size=(n, 3))
+    ns /= np.linalg.norm(ns, axis=1, keepdims=True)
+    ud2 = np.float64((_kmat_ld(Laplace3D_DxU, x, x, ns)
+                      @ f.astype(np.longdouble).ravel()).reshape(n, 1))
+    kd = KIFMMLd(Laplace3D_DxU, p=8, depth=2,
+                 rcond=1e-11).setup(x, x, n_src=ns)
+    rel2 = np.abs(kd.eval(f) - ud2).max() / np.abs(ud2).max()
+    assert rel2 < 1e-6, rel2

@@ -287,3 +287,22 @@ def test_fgmres_device_matches_host():
     res = np.linalg.norm(A @ np.asarray(x) - b)
     assert res < 1e-8 * np.linalg.norm(b)
     assert float(err) < 1e-10 * np.linalg.norm(b) * 1.01
+
+
+def test_gmres_ld_below_f64_floor():
+    """Host longdouble GMRES (the reference's GMRES<long double>
+    configuration, src/test-gmres.cpp) converges BELOW the f64
+    residual floor — a 1e-17 relative residual no f64 solver can
+    reach."""
+    from sctl_tpu.linalg.gmres import gmres_ld
+
+    rng = np.random.default_rng(9)
+    n = 60
+    A = (np.eye(n) + 0.2 * rng.normal(size=(n, n)) / np.sqrt(n)
+         ).astype(np.longdouble)
+    b = rng.normal(size=n).astype(np.longdouble)
+    x, it = gmres_ld(lambda v: A @ v, b, tol=1e-17, max_iter=n)
+    r = A @ x - b
+    rel = float(np.sqrt(r @ r) / np.sqrt(b @ b))
+    assert rel < 1e-16, rel
+    assert it <= n
