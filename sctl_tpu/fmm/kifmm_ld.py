@@ -111,18 +111,37 @@ class KIFMMLd:
 
         surf = np.asarray(cube_surface(self.p), LD)
         self.n_surf = len(surf)
-        # per-level origin-centered surfaces (side_l = scale / 2^l)
+        # per-level origin-centered surfaces (side_l = scale / 2^l);
+        # the two pinvs per level are disk-cached under SCTL_DATA_PATH
+        # (the reference's cached-tables discipline, common.hpp:9-11) —
+        # keyed on the level side length since the surfaces scale
+        # with the tree bbox
+        import os
+        from ..config import config
         self.s_in, self.s_out, self.uc2e, self.dc2e = {}, {}, {}, {}
         for l in range(2, L + 1):
             lam = LD(self.scale) / (1 << l)
             self.s_in[l] = surf * (LD(RAD_IN) * lam / 2)
             self.s_out[l] = surf * (LD(RAD_OUT) * lam / 2)
+            key = (f"kifmm_ld_{self.ker_trans.name}_p{self.p}"
+                   f"_r{self.rcond:.3g}_lam{float(lam):.9g}.npz")
+            path = os.path.join(config.data_path, key)
+            if os.path.exists(path):
+                z = np.load(path)
+                self.uc2e[l] = z["uc2e"].astype(LD)
+                self.dc2e[l] = z["dc2e"].astype(LD)
+                continue
             self.uc2e[l] = _pinv_ld(
                 _kmat_ld(self.ker_trans, self.s_out[l], self.s_in[l]),
                 self.rcond)
             self.dc2e[l] = _pinv_ld(
                 _kmat_ld(self.ker_trans, self.s_in[l], self.s_out[l]),
                 self.rcond)
+            try:
+                os.makedirs(config.data_path, exist_ok=True)
+                np.savez(path, uc2e=self.uc2e[l], dc2e=self.dc2e[l])
+            except OSError:
+                pass
         self.offsets, _ = _vlist_offsets()
         return self
 

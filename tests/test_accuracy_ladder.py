@@ -93,3 +93,54 @@ def test_kifmm_ld_extended_precision_path():
                  rcond=1e-11).setup(x, x, n_src=ns)
     rel2 = np.abs(kd.eval(f) - ud2).max() / np.abs(ud2).max()
     assert rel2 < 1e-6, rel2
+
+
+def test_rung_ld_p12_flagship():
+    """Flagship extended-precision rung (BASELINE.md ladder): the
+    longdouble path at p=12, rcond=1e-11 measures ~2.5e-10 vs a
+    longdouble dense oracle — 27x beyond the f64 plateau.  Asserted
+    with 6x headroom."""
+    from sctl_tpu.fmm.kifmm_ld import KIFMMLd, _kmat_ld
+
+    rng = np.random.default_rng(12)
+    n = 1200
+    x = rng.random((n, 3))
+    f = rng.normal(size=(n, 1))
+    ud = np.float64((_kmat_ld(Laplace3D_FxU, x, x)
+                     @ f.astype(np.longdouble).ravel()).reshape(n, 1))
+    kf = KIFMMLd(Laplace3D_FxU, p=12, depth=2, rcond=1e-11).setup(x, x)
+    rel = np.abs(kf.eval(f) - ud).max() / np.abs(ud).max()
+    assert rel < 1.5e-9, rel
+
+
+def test_rung_f64_p10_hiprec():
+    """p=10 hiprec rung: measured 8.6e-9 (rcond=1e-10, 80-bit table
+    products).  Gated on the operator disk cache — a cold build is
+    ~15 min single-core (randomized SVD included), too slow for CI."""
+    import os
+    import pytest
+    if not os.path.exists(
+            "data/kifmm_Laplace3D-FxU_p10_r1e-10_unit_v4hp.npz"):
+        pytest.skip("cold operator cache (build ~15 min)")
+    rel = _rung_hp(10, 1e-10)
+    assert rel < 3e-8, rel
+
+
+def test_rung_f64_p12_hiprec():
+    """p=12 hiprec rung: measured 6.8e-9 — the f64 pipeline plateau
+    (see BASELINE.md for the one-hop decomposition of why)."""
+    import os
+    import pytest
+    if not os.path.exists(
+            "data/kifmm_Laplace3D-FxU_p12_r1e-10_unit_v4hp.npz"):
+        pytest.skip("cold operator cache (build ~60 min)")
+    rel = _rung_hp(12, 1e-10)
+    assert rel < 3e-8, rel
+
+
+def _rung_hp(p, rcond):
+    kf = KIFMM(Laplace3D_FxU, p=p, depth=3, dtype=jnp.float64,
+               rcond=rcond, hiprec=True,
+               use_pallas_p2p=False).setup(XS, XS)
+    u = kf.eval(F)
+    return np.abs(u - U_DENSE).max() / np.abs(U_DENSE).max()
