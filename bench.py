@@ -172,7 +172,37 @@ def bench_bie(iters: int = 2) -> dict:
     }
 
 
+def _backend_reachable(timeout_s: float = 240.0) -> bool:
+    """Probe the ambient jax backend in a SUBPROCESS with a timeout.
+
+    A down axon/TPU tunnel HANGS at backend init instead of raising
+    (observed: jax.devices() blocks indefinitely), which would hang
+    the whole bench run and produce no JSON at all.  The probe does a
+    real device_put round-trip; on timeout or nonzero exit the caller
+    emits well-formed error lines instead of hanging.
+    """
+    import subprocess
+    import sys
+    code = ("import jax, jax.numpy as jnp; "
+            "jax.device_put(jnp.zeros(8)).block_until_ready(); "
+            "print(jax.devices()[0].platform)")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _backend_reachable():
+        msg = ("jax backend unreachable (device probe hung/failed; "
+               "down TPU tunnel?) — benches skipped")
+        for metric in ("stokes_bie_gmres_wallclock_torus_1e5unk",
+                       "laplace_kifmm_points_per_sec_per_chip_1e7"):
+            print(json.dumps({"metric": metric, "error": msg}),
+                  flush=True)
+        return
     # persistent executable cache: the big programs compile minutes
     # cold; cached runs skip it (harmless no-op if the backend does
     # not support serialization)
