@@ -408,8 +408,9 @@ class BoundaryIntegralOp:
                                  self.Xf[s:t], self.Xnf[s:t])
             kf = kf * self.wf[None, s:t, None, None]   # (T,nf,k0,k1)
             interp = lst.far_field_density_matrix(le)  # (n_e, nf_e)
-            far_blk = np.einsum("tfab,nf->tnab", kf, interp,
-                                optimize=True)
+            far_blk = np.tensordot(kf, interp,
+                                   axes=([1], [1])).transpose(
+                0, 3, 1, 2)                            # BLAS GEMM
             for j, pi in enumerate(pis):
                 self._near_mats[pi] -= far_blk[j].reshape(
                     self._near_mats[pi].shape)

@@ -237,9 +237,11 @@ class ParametricPatchList(ElementListBase):
                 X, n, J = self._geom(self.charts[e], uv)
                 km = block_matrix_np(kernel, Xt[idx], X, n)
                 wb = basis * (ww * J)[:, None]       # (S, nq)
-                res = np.einsum("tsab,sn->tnab", km, wb,
-                                optimize=True)
-                out[idx] = res.reshape(len(idx), nq * k0, k1)
+                # sum_s km[t,s,a,b] wb[s,n] as one BLAS GEMM
+                # (tensordot; c_einsum ran it as strided loops)
+                res = np.tensordot(km, wb, axes=([1], [0]))
+                out[idx] = res.transpose(0, 3, 1, 2).reshape(
+                    len(idx), nq * k0, k1)
 
         # --- singular class: batched Duffy (tol >= 1e-6, like the
         # scalar fast path; tighter tols go per-pair adaptive) --------
@@ -260,9 +262,10 @@ class ParametricPatchList(ElementListBase):
                     kernel, d, ns=n.reshape(Te, npts, 3))
                 basis = self._basis(pts).reshape(Te, npts, nq)
                 wj = wts[ei] * J.reshape(Te, npts)
-                acc[ei] = np.einsum("tpn,tpab->tnab",
-                                    basis * wj[..., None], blk,
-                                    optimize=True)
+                bw = (basis * wj[..., None]).transpose(0, 2, 1)
+                acc[ei] = np.matmul(                 # batched dgemm
+                    bw, blk.reshape(Te, npts, k0 * k1)).reshape(
+                    Te, nq, k0, k1)
             return acc
 
         # Duffy is the TRUSTED singular rule: validated against the
@@ -280,21 +283,42 @@ class ParametricPatchList(ElementListBase):
         # sub-1e-7 adapt is dropped, chunk together at the smallest K)
         kkey = np.where(adapt[didx] < 1e-7, 1.0, adapt[didx])
         didx = didx[np.argsort(-kkey, kind="stable")]
+        retry = []
         for c0 in range(0, len(didx), 512):
             sel = didx[c0:c0 + 512]
             hi = _duffy_eval(sel, order_hi)
             out[sel] = hi.reshape(len(sel), nq * k0, k1)
-            # sampled two-order self-convergence check: |hi - lo| is
-            # ~err(lo) which overestimates err(hi) by the measured
-            # ~x50 per +4 orders, so the miss threshold is 30*tol
-            smp = np.arange(0, len(sel), 16)
-            lo = _duffy_eval(sel[smp], order_lo)
+            # two-order self-convergence check on EVERY pair: |hi-lo|
+            # is ~err(lo) which overestimates err(hi) by the measured
+            # ~x50 per +4 orders, so the miss threshold is 30*tol.
+            # (An earlier 1/16-sampled variant condemned the whole
+            # 512-chunk on one sampled miss — profiled at 72% of the
+            # total setup time in per-pair fallbacks.)
+            lo = _duffy_eval(sel, order_lo)
             scale = np.maximum(
-                np.abs(hi[smp]).reshape(len(smp), -1).max(1), 1e-300)
-            miss = (np.abs(hi[smp] - lo).reshape(len(smp), -1).max(1)
+                np.abs(hi).reshape(len(sel), -1).max(1), 1e-300)
+            miss = (np.abs(hi - lo).reshape(len(sel), -1).max(1)
                     > 30 * tol * scale)
-            if miss.any():
-                fallback[sel] = True
+            retry.append(sel[miss])
+        # escalation rung for the misses: +8 orders of the same batched
+        # Duffy (resolves chart-curvature misses) before the ~100x more
+        # expensive per-pair adaptive fallback
+        retry = (np.concatenate(retry) if retry
+                 else np.zeros(0, np.int64))
+        if len(retry):
+            o2 = order_hi + 8
+            for c0 in range(0, len(retry), 256):
+                sel = retry[c0:c0 + 256]
+                prev = out[sel].copy()
+                hi2 = _duffy_eval(sel, o2)
+                out[sel] = hi2.reshape(len(sel), nq * k0, k1)
+                scale = np.maximum(
+                    np.abs(hi2).reshape(len(sel), -1).max(1), 1e-300)
+                still = (np.abs(hi2.reshape(len(sel), -1, k1) - prev
+                                .reshape(len(sel), -1, k1))
+                         .reshape(len(sel), -1).max(1)
+                         > 30 * tol * scale)
+                fallback[sel[still]] = True
 
         # --- per-pair fallback ---------------------------------------
         for i in np.where(fallback)[0]:
@@ -443,7 +467,7 @@ class ParametricPatchList(ElementListBase):
         """Tensor Lagrange basis at (P,2) params -> (P, q^2)."""
         mu = interpolation_matrix(self._x1, uv[:, 0])  # (q, P)
         mv = interpolation_matrix(self._x1, uv[:, 1])
-        return np.einsum("ip,jp->pij", mu, mv).reshape(
+        return (mu.T[:, :, None] * mv.T[:, None, :]).reshape(
             len(uv), self.q ** 2)
 
 

@@ -27,12 +27,22 @@ def interpolation_matrix(src_nds, trg_nds, dd: bool = False):
         return _interp_dd(src_nds, trg_nds)
     s = np.asarray(src_nds, dtype=np.float64)
     t = np.asarray(trg_nds, dtype=np.float64)
-    ns, nt = len(s), len(t)
-    M = np.ones((ns, nt))
-    for i in range(ns):
-        for j in range(ns):
-            if j != i:
-                M[i, :] *= (t - s[j]) / (s[i] - s[j])
+    ns = len(s)
+    # first-form barycentric: M[i] = l(t) * w_i / (t - s_i) with
+    # l(t) = prod_j (t - s_j), w_i = 1/prod_{j!=i}(s_i - s_j) — the
+    # stable O(ns*nt) evaluation (vs the O(ns^2*nt) product form; the
+    # BIE near setup evaluates this on ~1e7 target points).  Exact
+    # node hits take the limit value via the masked division.
+    den = s[:, None] - s[None, :]
+    np.fill_diagonal(den, 1.0)
+    w = 1.0 / den.prod(axis=1)                     # (ns,)
+    d = t[None, :] - s[:, None]                    # (ns, nt)
+    hit = d == 0.0
+    l_t = d.prod(axis=0)                           # (nt,)
+    M = l_t[None, :] * w[:, None] / np.where(hit, 1.0, d)
+    if hit.any():
+        col = hit.any(axis=0)
+        M[:, col] = hit[:, col]
     return M
 
 

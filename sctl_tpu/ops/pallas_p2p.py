@@ -439,7 +439,9 @@ def p2p_stencil(kernel: KernelSpec, nside: int, cap_s: int, cap_t: int,
 
 
 def _ulist_kernel_body(tile_fn, xt_ref, xs_ref, ns_ref, f_ref, out_ref):
-    out_ref[0] = tile_fn(xt_ref[0], xs_ref[0], ns_ref[0], f_ref[0])
+    for b in range(xt_ref.shape[1]):        # unrolled: boxes per step
+        out_ref[:, b, :] = tile_fn(xt_ref[:, b, :], xs_ref[:, b, :],
+                                   ns_ref[:, b, :], f_ref[:, b, :]).T
 
 
 @functools.partial(jax.jit, static_argnames=("kernel", "interpret"))
@@ -460,6 +462,13 @@ def p2p_ulist(kernel: KernelSpec, xt_b, xs_b, ns_b, f_b,
     Targets ride sublanes, sources ride lanes; one grid step per box
     keeps the whole pairwise tile in VMEM — no HBM round trip for the
     (T, S) intermediates.
+
+    HBM layout: operands are transposed to (3|k0, G, S) and the result
+    is produced as (k1, G, T) so the TPU (8,128)-tiled HBM layout pads
+    the large box x slot dims instead of the tiny coordinate/component
+    dims — a (G, T, 1) result at G=262144 leaves would pad the
+    trailing 1 -> 128 lanes (20 GB); (1, G, T) is 268 MB.  The
+    transposes fuse into the surrounding jit.
     """
     if interpret is None:
         from ..config import config
@@ -469,29 +478,36 @@ def p2p_ulist(kernel: KernelSpec, xt_b, xs_b, ns_b, f_b,
     S = xs_b.shape[2]
     k0, k1 = kernel.kdim0, kernel.kdim1
     tile_fn = _LTILE_FNS[kernel.name]
+    BB = 8                    # boxes per grid step (sublane granule)
+    Gp = -(-G // BB) * BB     # zero-pad: zero coords + zero densities
+    padG = ((0, 0), (0, Gp - G), (0, 0))
+
+    def prep(a):
+        return jnp.pad(a.transpose(1, 0, 2), padG)
+
     out = pl.pallas_call(
         functools.partial(_ulist_kernel_body, tile_fn),
-        grid=(G,),
+        grid=(Gp // BB,),
         in_specs=[
-            pl.BlockSpec((1, 3, T), lambda g: (g, 0, 0),
+            pl.BlockSpec((3, BB, T), lambda g: (0, g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, S), lambda g: (g, 0, 0),
+            pl.BlockSpec((3, BB, S), lambda g: (0, g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, S), lambda g: (g, 0, 0),
+            pl.BlockSpec((3, BB, S), lambda g: (0, g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k0, S), lambda g: (g, 0, 0),
+            pl.BlockSpec((k0, BB, S), lambda g: (0, g, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, T, k1), lambda g: (g, 0, 0),
+        out_specs=pl.BlockSpec((k1, BB, T), lambda g: (0, g, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G, T, k1), xt_b.dtype),
+        out_shape=jax.ShapeDtypeStruct((k1, Gp, T), xt_b.dtype),
         cost_estimate=pl.CostEstimate(
             flops=int(G) * int(T) * int(S) * kernel.flops,
             bytes_accessed=(xt_b.size + xs_b.size + f_b.size) * 4,
             transcendentals=int(G) * int(T) * int(S)),
         interpret=interpret,
-    )(xt_b, xs_b, ns_b, f_b)
-    return out
+    )(prep(xt_b), prep(xs_b), prep(ns_b), prep(f_b))
+    return out[:, :G].transpose(1, 2, 0)
 
 
 def _p2p_kernel_body(tile_fn, nbs_total, xt_ref, xs_ref, ns_ref, f_ref,
