@@ -393,7 +393,16 @@ class KIFMMOperators:
         # the compressed family's Frobenius mass) stays below the f32
         # pipeline floor.  The scan/f64 paths keep the exact ranks.
         ca = np.asarray(self.ca_unit, np.float64)     # (316, r, r2)
-        cap_tol2 = max(self._rcond, 1e-6) ** 2
+        # The Pallas branch only ever runs the f32 pipeline (the gate
+        # in _m2l_sweep), whose truncation floor is ~6e-5 (p=6 rung);
+        # a 1e-5 Frobenius-tail fraction is conservative against it —
+        # measured on the p=6 rung: dropping the 24-column r2 tail
+        # (mass 1.5e-6, worst-case bound 1.2e-3) moves the eval error
+        # 6.0e-5 -> 6.0e-5 (the tail directions barely couple to
+        # smooth multipole data) while halving the padded lane tiles
+        # (152 -> 256-lane pad becomes 128).  f64/hiprec paths use the
+        # scan branch with exact ranks.
+        cap_tol2 = max(self._rcond ** 2, 1e-5)
 
         def _cap(axis):
             other = tuple(i for i in range(3) if i != axis)
@@ -547,12 +556,14 @@ class KIFMM:
             use_pallas_m2l = jax.default_backend() in ("tpu", "axon")
         self.use_pallas_m2l = use_pallas_m2l
         # S2M check potentials + L2T through the per-box Pallas U-list
-        # kernel (targets in sublanes, surface/leaf slabs in lanes):
-        # the pairwise (T, S) intermediates stay in VMEM instead of
-        # lax.map'd XLA chunks (ROADMAP #2; hot loop spec
-        # generic-kernel.txx:76-189)
+        # kernel — measured SLOWER than the lax.map'd XLA path at the
+        # 1e7/depth-6 flagship (627 vs 444 ms full eval: the per-box
+        # sublane slicing + per-box (T,1)->(1,T) relayouts in
+        # _ulist_kernel_body dominate), so the default is OFF; the
+        # U-list kernel stays in use where its shapes fit (adaptive
+        # FMM U lists, hundreds of targets x hundreds of sources)
         if use_pallas_sl is None:
-            use_pallas_sl = use_pallas_p2p
+            use_pallas_sl = False
         self.use_pallas_sl = use_pallas_sl
         self.ker_s2t = ker_s2t
         if ker_s2t.name.startswith("Stokes"):
