@@ -677,21 +677,35 @@ class AdaptiveFMM:
             xck = (data["surf_in"][l][None]
                    + data["node_ctr"][l][nid][:, None])
 
-            def x_node(args, K=K):
-                xc, slabs = args                   # slabs (K,)
+            # scan over the slab axis: the per-node all-slabs gather
+            # materialized a (batch, K*cap_s, 3) block whose 3-lane
+            # minor dim XLA pads to 128 inside the vmapped gather
+            # (measured 42x HBM expansion -> chip OOM on the 1e5-unk
+            # BIE bench); one slab per step keeps every intermediate
+            # at (n_nodes, cap_s, 3)
+            xln = xl[nid]                            # (n_nodes, K)
+
+            def x_slab(acc, k, K=K):
+                slabs = xln[:, k]
                 ok = slabs >= 0
                 rows = jnp.where(ok, slabs, 0)
-                xs = xs_pad[rows].reshape(-1, 3)
-                nr = ns_pad[rows].reshape(-1, 3)
-                fb = (fp[rows] * ok[:, None, None].astype(dt)
-                      ).reshape(-1, fp.shape[-1])
-                return self.ker_s2m.apply_pairwise(xc, xs, nr, fb)
 
-            u_checkX = lax.map(
-                x_node, (xck, xl[nid]),
-                batch_size=max(1, min(nid.shape[0], 2048)))
-            u_checkX = u_checkX.reshape(nid.shape[0], -1) \
-                * self.ker_s2m.scale_factor
+                def x_node(args):
+                    xc, xs, nr, fb = args
+                    return self.ker_s2m.apply_pairwise(xc, xs, nr, fb)
+
+                u_k = lax.map(
+                    x_node,
+                    (xck, xs_pad[rows], ns_pad[rows],
+                     fp[rows] * ok[:, None, None].astype(dt)),
+                    batch_size=max(1, min(nid.shape[0], 4096)))
+                return acc + u_k.reshape(acc.shape), None
+
+            nsck = xck.shape[1] * self.ker_s2m.kdim1
+            u_checkX, _ = lax.scan(
+                x_slab, jnp.zeros((nid.shape[0], nsck), dt),
+                jnp.arange(K))
+            u_checkX = u_checkX * self.ker_s2m.scale_factor
             qc = jnp.einsum("mn,bn->bm", data["dc2e"][l], u_checkX,
                             precision=hi)
             qx[l] = jnp.zeros_like(q_dn[l]).at[
@@ -752,19 +766,35 @@ class AdaptiveFMM:
             okb = blk >= 0
             lid = jnp.where(okb, blk, 0)
 
-            def w_leaf(args, l=l, K=K, nsurf=nsurf):
-                xt, slabs = args
+            # scan over the slab axis (same OOM pattern as the X
+            # list: the all-slabs (batch, K*nsurf, k0) gather pads
+            # its k0-lane minor dim to 128 — 32x HBM expansion)
+            wln = wl[lid]                            # (n_leaf, K)
+            xtl = xt_pad[lid]
+
+            def w_slab(acc, k, l=l):
+                slabs = wln[:, k]
                 ok = slabs >= 0
                 rows = jnp.where(ok, slabs, 0)
                 xe = (data["surf_in"][l][None]
-                      + data["node_ctr"][l][rows][:, None]).reshape(
-                    -1, 3)
-                q_ = (q_up[l][rows] * ok[:, None].astype(dt)).reshape(
-                    -1, k0_l2t)
-                return self.ker_l2t.apply_pairwise(xt, xe, xe, q_)
+                      + data["node_ctr"][l][rows][:, None])
+                q_ = q_up[l][rows] * ok[:, None].astype(dt)
 
-            u_w = lax.map(w_leaf, (xt_pad[lid], wl[lid]),
-                          batch_size=max(1, min(lid.shape[0], 2048)))
+                def w_leaf(args):
+                    xt, xe_, qk = args
+                    return self.ker_l2t.apply_pairwise(
+                        xt, xe_, xe_, qk.reshape(-1, k0_l2t))
+
+                u_k = lax.map(w_leaf, (xtl, xe, q_),
+                              batch_size=max(1, min(lid.shape[0],
+                                                    4096)))
+                return acc + u_k, None
+
+            u_w, _ = lax.scan(
+                w_slab,
+                jnp.zeros((lid.shape[0], self.cap_t,
+                           self.ker_l2t.kdim1), dt),
+                jnp.arange(K))
             u_out = u_out.at[jnp.where(okb, lid, n_leaf)].add(
                 u_w * self.ker_l2t.scale_factor
                 * okb[:, None, None].astype(dt), mode="drop")
@@ -783,20 +813,33 @@ class AdaptiveFMM:
             Tp = -(-self.cap_t // 8) * 8
             k0s = fp.shape[-1]
             chunk = max(1, min(n_leaf, max(1, (1 << 22) // max(S, 1))))
+            # gather from (B, 3|k0, cap_s)-transposed slabs: gathering
+            # the (B, cap_s, 3) form materializes a (G, Ku, cap_s, 3)
+            # block whose 3-lane minor dim XLA pads to 128 (42x HBM
+            # expansion — the same OOM pattern as the W/X lists)
+            xs_pt = xs_pad.transpose(0, 2, 1)        # (B, 3, cap_s)
+            ns_pt = ns_pad.transpose(0, 2, 1)
+            fp_pt = fp.transpose(0, 2, 1)            # (B, k0, cap_s)
             u_parts = []
             for g0 in range(0, n_leaf, chunk):
                 g1 = min(g0 + chunk, n_leaf)
                 rows_c = ulist[g0:g1]                # (G, Ku)
                 ok = rows_c >= 0
                 rc = jnp.where(ok, rows_c, 0)
-                xs_b = xs_pad[rc].reshape(g1 - g0, S0, 3)
-                ns_b = ns_pad[rc].reshape(g1 - g0, S0, 3)
-                f_b = (fp[rc] * ok[:, :, None, None].astype(dt)
-                       ).reshape(g1 - g0, S0, k0s)
-                pad = ((0, 0), (0, S - S0), (0, 0))
-                xs_b = jnp.pad(xs_b, pad).transpose(0, 2, 1)
-                ns_b = jnp.pad(ns_b, pad).transpose(0, 2, 1)
-                f_b = jnp.pad(f_b, pad).transpose(0, 2, 1)
+                G = g1 - g0
+
+                def cat(a, w):                       # (G,Ku,w,cap_s)
+                    return a[rc].transpose(0, 2, 1, 3).reshape(
+                        G, w, S0)
+
+                xs_b = cat(xs_pt, 3)
+                ns_b = cat(ns_pt, 3)
+                f_b = cat(fp_pt, k0s) * jnp.repeat(
+                    ok.astype(dt), self.cap_s, axis=1)[:, None, :]
+                pad = ((0, 0), (0, 0), (0, S - S0))
+                xs_b = jnp.pad(xs_b, pad)
+                ns_b = jnp.pad(ns_b, pad)
+                f_b = jnp.pad(f_b, pad)
                 xt_b = jnp.pad(xt_pad[g0:g1],
                                ((0, 0), (0, Tp - self.cap_t), (0, 0))
                                ).transpose(0, 2, 1)
