@@ -67,6 +67,12 @@ class Config:
     # Use the Pallas interpreter (slow, debuggable) instead of Mosaic.
     pallas_interpret: bool = dataclasses.field(
         default_factory=lambda: _env_bool("SCTL_PALLAS_INTERPRET", False))
+    # Newton-refine the P2P rsqrt (the reference's approx_rsqrt<digits>
+    # pattern, vec.txx:357-370).  Measured on v5e: lax.rsqrt already
+    # returns full-f32 rsqrt, so the refinement is redundant ALU work
+    # in the hottest tile; default off on TPU (A/B via SCTL_P2P_NEWTON).
+    p2p_newton: bool = dataclasses.field(
+        default_factory=lambda: _env_bool("SCTL_P2P_NEWTON", False))
 
 
 config = Config()

@@ -38,13 +38,19 @@ from .kernels import KernelSpec, KERNELS
 
 
 def _rinv_t(r2):
-    """Masked rsqrt + one Newton step: the TPU VPU rsqrt is a fast
-    approximation; one refinement x*(1.5 - 0.5*r2*x^2) recovers full
-    f32 accuracy (the reference's approx_rsqrt<digits> Newton pattern,
-    vec.txx:357-370)."""
+    """Masked rsqrt (self-pair/padding slots -> 0).
+
+    The reference Newton-refines an approximate SIMD rsqrt
+    (approx_rsqrt<digits>, vec.txx:357-370).  On TPU, lax.rsqrt lowers
+    to a full-f32-precision VPU op (measured: max rel err ~1 ulp vs
+    f64, identical with and without one Newton step), so the
+    refinement is redundant ALU work in the hottest tile; it is kept
+    behind config.p2p_newton for A/B measurement."""
+    from ..config import config
     r2s = jnp.where(r2 > 0, r2, 1.0)
     x = lax.rsqrt(r2s)
-    x = x * (1.5 - 0.5 * r2s * x * x)
+    if config.p2p_newton:
+        x = x * (1.5 - 0.5 * r2s * x * x)
     return jnp.where(r2 > 0, x, 0.0)
 
 
