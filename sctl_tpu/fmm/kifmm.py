@@ -555,15 +555,15 @@ class KIFMM:
         if use_pallas_m2l is None:
             use_pallas_m2l = jax.default_backend() in ("tpu", "axon")
         self.use_pallas_m2l = use_pallas_m2l
-        # S2M check potentials + L2T through the per-box Pallas U-list
-        # kernel — measured SLOWER than the lax.map'd XLA path at the
-        # 1e7/depth-6 flagship (627 vs 444 ms full eval: the per-box
-        # sublane slicing + per-box (T,1)->(1,T) relayouts in
-        # _ulist_kernel_body dominate), so the default is OFF; the
-        # U-list kernel stays in use where its shapes fit (adaptive
-        # FMM U lists, hundreds of targets x hundreds of sources)
+        # S2M check potentials + L2T through the shared-surface Pallas
+        # kernels (ops/pallas_sl.py): surface points ride sublanes,
+        # box slots ride lanes, per-box sums assembled by exact hi/lo
+        # MXU one-hot matmuls — measured 52 -> 15 ms (S2M+M2M) and
+        # 41 -> 14 ms (L2T) at the 1e7/depth-6 flagship.  (The round-3
+        # p2p_ulist routing was SLOWER than XLA — per-box sublane
+        # slicing and (T,1)->(1,T) relayouts — and was retired.)
         if use_pallas_sl is None:
-            use_pallas_sl = False
+            use_pallas_sl = jax.default_backend() in ("tpu", "axon")
         self.use_pallas_sl = use_pallas_sl
         self.ker_s2t = ker_s2t
         if ker_s2t.name.startswith("Stokes"):
@@ -702,6 +702,22 @@ class KIFMM:
                     self.trg_tree.X_sorted[self.tov_idx], dt),
                 "tov_boxes": jnp.asarray(self.tov_boxes, jnp.int32),
             })
+        # shared-surface Pallas S2M/L2T (ops/pallas_sl.py): box-LOCAL
+        # transposed slot arrays (localizing in f64 on host keeps the
+        # f32 pair differences exact to the box scale)
+        B_ = self.src_tree.n_boxes
+        self._sl_on = (self.use_pallas_sl and B_ % 128 == 0
+                       and dt == jnp.float32)
+        if self._sl_on:
+            xs_loc = xs_p - ctr[:, None, :]
+            self._data["xs_sl"] = jnp.asarray(
+                xs_loc.transpose(2, 0, 1).reshape(3, -1), dt)
+            if ns_p is not None:
+                self._data["ns_sl"] = jnp.asarray(
+                    ns_p.transpose(2, 0, 1).reshape(3, -1), dt)
+            xt_loc = xt_p - ctr[:, None, :]
+            self._data["xt_sl"] = jnp.asarray(
+                xt_loc.transpose(2, 0, 1).reshape(3, -1), dt)
         if self.use_pallas_p2p:
             # raster-layout halo arrays for the stencil P2P kernel:
             # boxes reordered (x, y, z); slabs padded to a 128-multiple
@@ -950,10 +966,22 @@ class KIFMM:
         # ---- S2M: leaf check potentials -> up equivalents ----
         xck = data["surf_out_L"][None] + ctr[:, None, :]      # (B,ns,3)
 
-        if self.use_pallas_sl:
-            # per-box Pallas tile: surface points ride sublanes, the
-            # leaf source slab rides lanes; zero-density padded slots
-            # are inert (masked rsqrt zeroes coincident pairs)
+        if getattr(self, "_sl_on", False):
+            # shared-surface Pallas S2M (ops/pallas_sl.py): the check
+            # surface is identical for every box in box-local
+            # coordinates; per-box sums assemble via exact hi/lo MXU
+            # one-hot matmuls.  -> (k1t, ns_surf, B), transposed back
+            # to the point-major (B, ns_surf*k1t) layout of uc2e.
+            from ..ops.pallas_sl import surface_pair
+            k0 = self.ker_s2m.kdim0
+            f_T = fp.reshape(B * self.cap_s, k0).T
+            ns_sl = data.get("ns_sl")
+            out_sl = surface_pair(
+                self.ker_s2m, data["surf_out_L"], data["xs_sl"],
+                ns_sl, f_T, self.cap_s)
+            u_check = out_sl.transpose(2, 1, 0).reshape(B, -1)
+        elif self.use_pallas_sl:
+            # per-box Pallas tile fallback (small trees; interpret)
             from ..ops.pallas_p2p import p2p_ulist
             nsf = ops.n_surf
             T8 = -(-nsf // 8) * 8
@@ -1132,10 +1160,19 @@ class KIFMM:
 
         k0_l2t = self.ker_l2t.kdim0
 
-        if self.use_pallas_sl:
-            # per-box Pallas tile: leaf targets in sublanes, the
-            # down-equivalent surface slab in lanes (zero-padded
-            # surface slots carry zero density)
+        if getattr(self, "_sl_on", False):
+            # shared-surface Pallas L2T (ops/pallas_sl.py): the
+            # equivalent surface is the shared sublane axis; per-box
+            # densities expand to target lanes by an exact hi/lo MXU
+            # one-hot product; zero padded lanes (128*cap_t is exact)
+            from ..ops.pallas_sl import l2t_surface
+            nsf = ops.n_surf
+            q_cm = q_dn.reshape(B, nsf, k0_l2t).transpose(2, 1, 0)
+            out_sl = l2t_surface(self.ker_l2t, data["surf_out_L"],
+                                 data["xt_sl"], q_cm, self.cap_t)
+            u_far = out_sl.reshape(-1, B, self.cap_t).transpose(1, 2, 0)
+        elif self.use_pallas_sl:
+            # per-box Pallas tile fallback (small trees; interpret)
             from ..ops.pallas_p2p import p2p_ulist
             nsf = ops.n_surf
             S128 = -(-nsf // 128) * 128

@@ -42,10 +42,17 @@ def _rinv_t(r2):
 
     The reference Newton-refines an approximate SIMD rsqrt
     (approx_rsqrt<digits>, vec.txx:357-370).  On TPU, lax.rsqrt lowers
-    to a full-f32-precision VPU op (measured: max rel err ~1 ulp vs
-    f64, identical with and without one Newton step), so the
+    to a full-f32-precision VPU op (measured on hardware: Newton-off
+    sits at the same f32 floor vs an f64 oracle as Newton-on —
+    tests_tpu/test_p2p_accuracy.py; outputs differ by a few ulps since
+    every f32 op rounds, but the step buys no accuracy), so the
     refinement is redundant ALU work in the hottest tile; it is kept
-    behind config.p2p_newton for A/B measurement."""
+    behind config.p2p_newton for A/B measurement.
+
+    NOTE: the flag is read at TRACE time — SCTL_P2P_NEWTON must be
+    set before the first call of a given kernel/shape; toggling it
+    afterwards has no effect on the cached executable (clear with
+    jax.clear_caches() when A/B-measuring in one process)."""
     from ..config import config
     r2s = jnp.where(r2 > 0, r2, 1.0)
     x = lax.rsqrt(r2s)

@@ -9,7 +9,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from sctl_tpu.fmm import ParticleFMM, KIFMM
 from sctl_tpu.ops import (Laplace3D_FxU, Laplace3D_DxU, Laplace3D_FxdU,
-                          direct_eval_blocked)
+                          Stokes3D_FxU, direct_eval_blocked)
 
 RNG = np.random.default_rng(0)
 
@@ -343,3 +343,29 @@ def test_kifmm_pallas_s2m_l2t():
     u = kf.eval(f)
     rel = np.abs(u - u_d).max() / np.abs(u_d).max()
     assert rel < 5e-5, rel
+
+
+@pytest.mark.parametrize("ker", [Laplace3D_FxU, Stokes3D_FxU])
+def test_kifmm_shared_surface_sl(ker):
+    """The TPU-default shared-surface S2M/L2T route (ops/pallas_sl.py:
+    surface points in sublanes, 128 boxes' slots in lanes, per-box
+    sums via exact hi/lo one-hot MXU matmuls) matches the dense direct
+    sum in interpret mode.  f32 forces the `_sl_on` gate on the CPU
+    mesh; depth 3 gives B=512 (a 128-multiple)."""
+    from sctl_tpu.fmm import KIFMM
+    from sctl_tpu.ops.kernels_np import full_matrix_np
+
+    rng = np.random.default_rng(23)
+    n = 1500
+    k0 = ker.kdim0
+    x = rng.random((n, 3))
+    f = rng.normal(size=(n, k0))
+    u_d = (full_matrix_np(ker, x, x).T
+           @ f.ravel()).reshape(n, -1)
+    kf = KIFMM(ker, p=6, depth=3, dtype=jnp.float32,
+               use_pallas_p2p=False, use_pallas_m2l=False,
+               use_pallas_sl=True).setup(x, x)
+    assert kf._sl_on, "shared-surface gate must engage"
+    u = np.asarray(kf.eval(f))
+    rel = np.abs(u - u_d).max() / np.abs(u_d).max()
+    assert rel < 6e-4, rel
