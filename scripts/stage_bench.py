@@ -86,8 +86,9 @@ def main():
         for lvl in range(2, L + 1)}
     qtup = tuple(qs[lvl] for lvl in range(2, L + 1))
 
-    for variant in (False, True):
-        kif.use_pallas_m2l = variant
+    for variant in ("scan", "pallas", "blocked"):
+        kif.use_pallas_m2l = variant != "scan"
+        kif._m2l_blocked = variant == "blocked"
 
         @jax.jit
         def m2l(qtup, data):
@@ -96,8 +97,7 @@ def main():
             return sum(jnp.sum(x) for x in v.values())
 
         t = timeit(lambda a: fence(m2l(a, data)), qtup)
-        print(f"M2L ({'pallas' if variant else 'scan'}): "
-              f"{t*1e3:.1f} ms")
+        print(f"M2L ({variant}): {t*1e3:.1f} ms", flush=True)
 
     # P2P stencil
     @jax.jit

@@ -73,6 +73,18 @@ class Config:
     # in the hottest tile; default off on TPU (A/B via SCTL_P2P_NEWTON).
     p2p_newton: bool = dataclasses.field(
         default_factory=lambda: _env_bool("SCTL_P2P_NEWTON", False))
+    # Packed-slab P2P stencil (p2p_stencil9: all 9 neighbor columns
+    # pre-packed per slab, 8-granule per-box caps) instead of the 9
+    # shifted-window kernel; ~33% fewer padded pair slots.  Read at
+    # KIFMM setup time (A/B via SCTL_P2P_PACKED9=0).
+    p2p_packed9: bool = dataclasses.field(
+        default_factory=lambda: _env_bool("SCTL_P2P_PACKED9", True))
+    # Sibling-blocked Pallas M2L (26 parent-direction block GEMMs)
+    # instead of the 316-offset parity-masked sweep; 0.41x effective
+    # flops at Laplace p=6 (A/B via SCTL_M2L_BLOCKED=0).  Read at
+    # KIFMM setup time.
+    m2l_blocked: bool = dataclasses.field(
+        default_factory=lambda: _env_bool("SCTL_M2L_BLOCKED", True))
 
 
 config = Config()

@@ -415,6 +415,21 @@ class KIFMMOperators:
 
         self.m2l_cap_r = _cap(1)
         self.m2l_cap_r2 = _cap(2)
+        # sibling-blocked M2L stack (26 parent directions, child-pair
+        # blocks of A_d^T, near pairs zero): level-shared because the
+        # per-offset A tables are (scaling rides U/V).  Only built
+        # when the bf16 hi/lo resident stack fits VMEM (the same gate
+        # class as the 316-offset kernel; Stokes-sized ranks exceed it
+        # and stay on the scan path).
+        rc, r2c = self.m2l_cap_r, self.m2l_cap_r2
+        blk_mb = 26 * (8 * r2c) * (8 * rc) * 4 / 2 ** 20
+        if dtype == jnp.float32 and blk_mb <= 80:
+            from ..ops.pallas_m2l import blocked_m2l_mats
+            W = blocked_m2l_mats(ca, self.offsets, self.parity_valid,
+                                 rc, r2c)
+            self.m2l_blk_d = jnp.asarray(W, dtype=dtype)
+        else:
+            self.m2l_blk_d = None
         # concatenated single-GEMM forms: q_parent = qc.(P,8n) @ m2m_cat
         # (8n,m); child = q_dn.(P,n) @ l2l_cat (n,8m) — one large MXU
         # GEMM per level instead of 8 small batched ones (measured 13x
@@ -555,6 +570,9 @@ class KIFMM:
         if use_pallas_m2l is None:
             use_pallas_m2l = jax.default_backend() in ("tpu", "axon")
         self.use_pallas_m2l = use_pallas_m2l
+        from ..config import config as _cfg
+        self._m2l_blocked = _cfg.m2l_blocked
+        self._p2p_packed9 = _cfg.p2p_packed9
         # S2M check potentials + L2T through the shared-surface Pallas
         # kernels (ops/pallas_sl.py): surface points ride sublanes,
         # box slots ride lanes, per-box sums assembled by exact hi/lo
@@ -630,8 +648,13 @@ class KIFMM:
         # box to the max count wastes (max/mean)^2 of the P2P compute
         # (Poisson tail); points beyond the 97th-percentile capacity go
         # to an explicit overflow sideband handled by dedicated paths.
-        self.cap_s = _quantile_cap(self.src_tree.box_cnt,
-                                   lane_dim=True)   # sources = lanes
+        # packed-slab stencil: the slab group (9*cap) is what must be
+        # 128-aligned, so the per-box cap keeps the 8-granule (56 at
+        # the 1e7/depth-6 density vs 64 lane-rounded — 33% fewer
+        # padded pair slots); other paths keep the measured 64-rule
+        self.cap_s = _quantile_cap(
+            self.src_tree.box_cnt,
+            lane_dim=not (self.use_pallas_p2p and self._p2p_packed9))
         # targets (sublanes): a lower quantile pays off since sublane
         # tiles trim cleanly (measured: q75-90 -> cap 48: 0.85s vs
         # q97 -> cap 56: 0.87s at 1e7/depth 6)
@@ -673,6 +696,7 @@ class KIFMM:
             "m2l_v": tuple(ops.m2l_v_d),
             "m2l_a": tuple(ops.m2l_a_d),
             "m2l_at": tuple(ops.m2l_at_d),
+            "m2l_blk": ops.m2l_blk_d,
             "surf_out_L": ops.surf_out_d[L],
             **self._parity_tables(ops),
             "gidx": tuple(jnp.asarray(self._grid_index_np(l))
@@ -719,53 +743,72 @@ class KIFMM:
             self._data["xt_sl"] = jnp.asarray(
                 xt_loc.transpose(2, 0, 1).reshape(3, -1), dt)
         if self.use_pallas_p2p:
-            # raster-layout halo arrays for the stencil P2P kernel:
-            # boxes reordered (x, y, z); slabs padded to a 128-multiple
-            # capacity (lane-aligned z-slices) with the density still
-            # truncated at cap_s so the slot-2 overflow sideband keeps
-            # its exact role
             n_side = 1 << L
-            # 64-multiple slabs (the packed parity window in
-            # p2p_stencil needs an even grid side; odd 64-multiples
-            # halve slab padding for occupancies <= 64)
-            align = 64 if n_side % 2 == 0 else 128
-            self.stencil_cap = -(-self.cap_s // align) * align
-            cap2 = self.stencil_cap
             gidx = self._grid_index_np(L)          # morton -> raster
             self._gidx_np = gidx
             inv = np.empty_like(gidx)
             inv[gidx] = np.arange(len(gidx))       # raster -> morton
             self._rast_to_mort = inv
             tree = self.src_tree
-            idx2 = tree.box_dsp[:-1, None] + np.arange(cap2)[None, :]
-            lim = np.minimum(tree.box_dsp[:-1] + self.cap_s,
-                             tree.box_dsp[1:])
-            self._sval2_np = idx2 < lim[:, None]   # (B, cap2)
-            self._sidx2_np = np.clip(idx2, 0,
-                                     max(len(tree.X_sorted) - 1, 0))
-            xs_p2 = tree.X_sorted[self._sidx2_np]  # (B, cap2, 3)
-            ns_p2 = (self._n_src_sorted[self._sidx2_np]
-                     if self._n_src_sorted is not None
-                     else np.zeros_like(xs_p2))
-
-            def to_halo(a):                        # (B, cap2, k)
-                k = a.shape[2]
-                g = a[inv].reshape(n_side, n_side, n_side, cap2, k)
-                g = g.transpose(0, 1, 4, 2, 3).reshape(
-                    n_side, n_side, k, n_side * cap2)
-                return np.pad(g, ((0, 0), (0, 0), (0, 0),
-                                  (cap2, cap2)))
-
             xt_r = xt_p[inv].reshape(n_side, n_side, n_side,
                                      self.cap_t, 3)
             self._data.update({
-                "xs_halo": jnp.asarray(to_halo(xs_p2), dt),
-                "ns_halo": jnp.asarray(to_halo(ns_p2), dt),
                 "xt_rast": jnp.asarray(xt_r.transpose(0, 1, 2, 4, 3),
                                        dt),
                 "gidx_L": jnp.asarray(gidx, jnp.int32),
                 "rast_to_mort": jnp.asarray(inv, jnp.int32),
             })
+            if self._p2p_packed9:
+                # packed-slab layout (p2p_stencil9): per (x, y) column
+                # the z slab holds all 9 (dx, dy) neighbor columns'
+                # box points side by side in a 128-aligned SL-lane
+                # group — boundary zeros and slot padding baked in
+                cap = self.cap_s
+                SL = -(-9 * cap // 128) * 128
+                self.SL = SL
+                self.stencil_cap = cap
+                self._data.update({
+                    "xs_slab": jnp.asarray(self._to_slab(
+                        xs_p.astype(np.float32), inv, n_side), dt)})
+                if self.ker_s2t.needs_normal:
+                    self._data["ns_slab"] = jnp.asarray(self._to_slab(
+                        ns_p.astype(np.float32), inv, n_side), dt)
+                else:
+                    self._data["ns_slab"] = jnp.zeros(
+                        (n_side, n_side, 3, 128), dt)
+            else:
+                # legacy shifted-window layout (p2p_stencil): slabs
+                # padded to a 64/128-multiple capacity (lane-aligned
+                # z-slices), density truncated at cap_s so the slot-2
+                # overflow sideband keeps its exact role
+                align = 64 if n_side % 2 == 0 else 128
+                self.stencil_cap = -(-self.cap_s // align) * align
+                cap2 = self.stencil_cap
+                idx2 = (tree.box_dsp[:-1, None]
+                        + np.arange(cap2)[None, :])
+                lim = np.minimum(tree.box_dsp[:-1] + self.cap_s,
+                                 tree.box_dsp[1:])
+                self._sval2_np = idx2 < lim[:, None]   # (B, cap2)
+                self._sidx2_np = np.clip(
+                    idx2, 0, max(len(tree.X_sorted) - 1, 0))
+                xs_p2 = tree.X_sorted[self._sidx2_np]  # (B, cap2, 3)
+                ns_p2 = (self._n_src_sorted[self._sidx2_np]
+                         if self._n_src_sorted is not None
+                         else np.zeros_like(xs_p2))
+
+                def to_halo(a):                        # (B, cap2, k)
+                    k = a.shape[2]
+                    g = a[inv].reshape(n_side, n_side, n_side, cap2,
+                                       k)
+                    g = g.transpose(0, 1, 4, 2, 3).reshape(
+                        n_side, n_side, k, n_side * cap2)
+                    return np.pad(g, ((0, 0), (0, 0), (0, 0),
+                                      (cap2, cap2)))
+
+                self._data.update({
+                    "xs_halo": jnp.asarray(to_halo(xs_p2), dt),
+                    "ns_halo": jnp.asarray(to_halo(ns_p2), dt),
+                })
         self._eval_jit = None
         return self
 
@@ -925,9 +968,13 @@ class KIFMM:
         B = float(self.src_tree.n_boxes)
         ns = ops.n_surf * ops.k0t
         kf = self.ker_s2t.flops
-        cap_s_eff = (self.stencil_cap if self.use_pallas_p2p
-                     else self.cap_s)
-        fl = 27.0 * B * self.cap_t * cap_s_eff * kf          # P2P
+        if self.use_pallas_p2p and self._p2p_packed9:
+            # packed-slab stencil: 3*SL source slots per target box
+            fl = B * self.cap_t * 3.0 * self.SL * kf         # P2P
+        else:
+            cap_s_eff = (self.stencil_cap if self.use_pallas_p2p
+                         else self.cap_s)
+            fl = 27.0 * B * self.cap_t * cap_s_eff * kf      # P2P
         if self.n_ovf_s:
             fl += (27.0 * len(self.sov_boxes) * self.cap_t
                    * self.sov_cap * kf)
@@ -1071,6 +1118,36 @@ class KIFMM:
             cap_r2 = -(-getattr(ops, "m2l_cap_r2", 1 << 30) // 128) \
                 * 128
             mats_mb = 2 * 316 * cap_r * cap_r2 * 2 / 2 ** 20
+            if (self.use_pallas_m2l and nside >= 8
+                    and dt == jnp.float32
+                    and data.get("m2l_blk") is not None
+                    and self._m2l_blocked):
+                # sibling-blocked Pallas sweep (ops/pallas_m2l.py
+                # m2l_grid_blocked): reshape to the parent grid
+                # (child channel blocks c = 4cx+2cy+cz), 26 parent-
+                # direction (8r2 x 8r) block GEMMs, no parity masks.
+                from ..ops.pallas_m2l import m2l_grid_blocked
+                cr, cr2 = ops.m2l_cap_r, ops.m2l_cap_r2
+                V = data["m2l_v"][lvl][:, :cr2]
+                U = data["m2l_u"][lvl][:, :cr]
+                h2 = nside // 2
+                qr2 = jnp.einsum("xyzn,nk->xyzk",
+                                 q_grid.reshape(nside, nside, nside,
+                                                ns),
+                                 V, precision=hi)
+                qb = qr2.reshape(h2, 2, h2, 2, h2, 2, cr2).transpose(
+                    0, 2, 4, 1, 3, 5, 6).reshape(h2, h2, h2, 8 * cr2)
+                qbp = jnp.pad(qb, ((1, 1), (1, 1), (1, 1), (0, 0)))
+                accb = m2l_grid_blocked(qbp, data["m2l_blk"], h2, cr,
+                                        cr2)
+                acc = accb.reshape(h2, h2, h2, 2, 2, 2, cr).transpose(
+                    0, 3, 1, 4, 2, 5, 6).reshape(nside, nside, nside,
+                                                 cr)
+                out_full = jnp.einsum("xyzr,nr->xyzn", acc, U,
+                                      precision=hi)
+                v_dn[lvl] = self._from_grid(out_full, lvl,
+                                            data["gidx"][lvl])
+                continue
             if (self.use_pallas_m2l and nside >= 8
                     and dt == jnp.float32 and mats_mb <= 48):
                 # z-tiled windowed Pallas sweep (ops/pallas_m2l.py):
@@ -1322,26 +1399,91 @@ class KIFMM:
                              jnp.arange(27))
         return u_near
 
+    @staticmethod
+    def _to_slab(a, inv, n):
+        """(B, cap, k) box-padded array (Morton order) -> packed slab
+        columns (n, n, k, (n+2)*SL), SL = 128-aligned 9*cap lanes:
+        slab entry z (margin coords) holds the 9 (dx, dy) neighbor
+        columns' box (x+dx, y+dy, z-1) points at lane sub-blocks
+        c*cap (c = 3*(dx+1) + dy+1), zeros in margins/padding."""
+        B, cap, k = a.shape
+        SL = -(-9 * cap // 128) * 128
+        g = a[inv].reshape(n, n, n, cap, k)
+        gp = np.pad(g, ((1, 1), (1, 1), (1, 1), (0, 0), (0, 0)))
+        cols = np.stack([gp[1 + dx:1 + dx + n, 1 + dy:1 + dy + n]
+                         for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+                        axis=3)              # (n, n, n+2, 9, cap, k)
+        cols = cols.reshape(n, n, n + 2, 9 * cap, k)
+        cols = np.pad(cols, ((0, 0),) * 3
+                      + ((0, SL - 9 * cap), (0, 0)))
+        return np.ascontiguousarray(
+            cols.transpose(0, 1, 4, 2, 3)).reshape(
+            n, n, k, (n + 2) * SL)
+
+    def _f_slab(self, fp, data):
+        """Density counterpart of `_to_slab`, built on device each
+        apply: one raster row-gather, then nine shifted
+        dynamic-update-slices into a zero buffer already in the
+        kernel's (n, n, k0, n+2, SL) layout — the earlier
+        stack+pad+transpose chain materialized the 0.5 GB
+        intermediate three times (measured 41.6 ms; this form is
+        traffic-bound at ~9 x 2 x 60 MB)."""
+        L = self.depth
+        n = 1 << L
+        cap = self.cap_s
+        k0 = self.ker_s2t.kdim0
+        SL = self.SL
+        g = fp[data["rast_to_mort"]].reshape(n, n, n, cap, k0)
+        if k0 == 1:
+            g5 = g[..., 0]                       # (n, n, n, cap)
+            buf = jnp.zeros((n, n, n + 2, SL), g.dtype)
+            for c, (dx, dy) in enumerate(
+                    (dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)):
+                xs0, xs1 = max(0, -dx), min(n, n - dx)
+                ys0, ys1 = max(0, -dy), min(n, n - dy)
+                buf = buf.at[xs0:xs1, ys0:ys1, 1:n + 1,
+                             c * cap:(c + 1) * cap].set(
+                    g5[xs0 + dx:xs1 + dx, ys0 + dy:ys1 + dy])
+            return buf.reshape(n, n, 1, (n + 2) * SL)
+        gk = g.transpose(0, 1, 4, 2, 3)          # (n, n, k0, n, cap)
+        buf = jnp.zeros((n, n, k0, n + 2, SL), g.dtype)
+        for c, (dx, dy) in enumerate(
+                (dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)):
+            xs0, xs1 = max(0, -dx), min(n, n - dx)
+            ys0, ys1 = max(0, -dy), min(n, n - dy)
+            buf = buf.at[xs0:xs1, ys0:ys1, :, 1:n + 1,
+                         c * cap:(c + 1) * cap].set(
+                gk[xs0 + dx:xs1 + dx, ys0 + dy:ys1 + dy])
+        return buf.reshape(n, n, k0, (n + 2) * SL)
+
     def _p2p_stencil_pallas(self, fp, data):
-        """Near-field P2P via the halo-stencil Pallas kernel over the
+        """Near-field P2P via the halo-stencil Pallas kernels over the
         raster-ordered box grid: NO gathers in the hot path (measured:
         XLA's per-row gathers ran at ~12 GB/s and dominated every
-        gather-based formulation; the stencil's shifted-column block
+        gather-based formulation; the stencil's slab/column block
         fetches are plain DMAs).  One row gather converts the density
         into raster order and one converts the result back."""
-        from ..ops.pallas_p2p import p2p_stencil
+        from ..ops.pallas_p2p import p2p_stencil, p2p_stencil9
 
         L = self.depth
         n = 1 << L
-        cap2 = self.stencil_cap
         k0 = self.ker_s2t.kdim0
-        fpad = jnp.pad(fp, ((0, 0), (0, cap2 - self.cap_s), (0, 0)))
-        g = fpad[data["rast_to_mort"]].reshape(n, n, n, cap2, k0)
-        g = g.transpose(0, 1, 4, 2, 3).reshape(n, n, k0, n * cap2)
-        f_halo = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (cap2, cap2)))
-        u_r = p2p_stencil(self.ker_s2t, n, cap2, self.cap_t,
-                          data["xt_rast"], data["xs_halo"],
-                          data["ns_halo"], f_halo)
+        if self._p2p_packed9:
+            f_s = self._f_slab(fp, data)
+            u_r = p2p_stencil9(self.ker_s2t, n, self.SL, self.cap_t,
+                               data["xt_rast"], data["xs_slab"],
+                               data["ns_slab"], f_s)
+        else:
+            cap2 = self.stencil_cap
+            fpad = jnp.pad(fp, ((0, 0), (0, cap2 - self.cap_s),
+                                (0, 0)))
+            g = fpad[data["rast_to_mort"]].reshape(n, n, n, cap2, k0)
+            g = g.transpose(0, 1, 4, 2, 3).reshape(n, n, k0, n * cap2)
+            f_halo = jnp.pad(g, ((0, 0), (0, 0), (0, 0),
+                                 (cap2, cap2)))
+            u_r = p2p_stencil(self.ker_s2t, n, cap2, self.cap_t,
+                              data["xt_rast"], data["xs_halo"],
+                              data["ns_halo"], f_halo)
         u_r = u_r.reshape(n ** 3, self.cap_t, self.ker_s2t.kdim1)
         return u_r[data["gidx_L"]]
 

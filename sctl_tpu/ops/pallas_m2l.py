@@ -151,7 +151,7 @@ def m2l_grid(qp, mats_t, n: int, r: int, r2: int, tile: int = 4,
                           precision, threepass),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -183,6 +183,177 @@ def m2l_grid(qp, mats_t, n: int, r: int, r2: int, tile: int = 4,
     )(qp, jnp.asarray(dxy), mats_hi, mats_lo,
       jnp.asarray(masks, dtype=qp.dtype))
     return out[..., :r]
+
+
+def _blk_body(groups, t, hz, z8, rb, r2b, precision, threepass, q_hbm,
+              dxy_ref, mats_ref, matl_ref, out_ref, win, wz_ref,
+              wlo_ref, sem):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    w = t + 2
+    cp = pltpu.make_async_copy(
+        q_hbm.at[pl.ds(t * i, w), pl.ds(t * j, w)], win, sem)
+    cp.start()
+    cp.wait()
+    dt = out_ref.dtype
+    acc = jnp.zeros((t, t, hz, rb), dt)
+    for (dz, o0, o1) in groups:
+        wzf = pltpu.roll(win[:], z8 - (1 + dz), 2)[:, :, :hz, :]
+        if threepass:
+            wz_ref[:], wlo_ref[:] = _split_hi_lo(wzf)
+        else:
+            wz_ref[:] = wzf
+
+        def step(o, acc):
+            dx = dxy_ref[o, 0]
+            dy = dxy_ref[o, 1]
+            shi = wz_ref[pl.ds(1 + dx, t), pl.ds(1 + dy, t)]
+            shi = shi.reshape(t * t * hz, r2b)
+            if threepass:
+                pdef = lax.Precision.DEFAULT
+                slo = wlo_ref[pl.ds(1 + dx, t), pl.ds(1 + dy, t)]
+                slo = slo.reshape(t * t * hz, r2b)
+                y = (_dot(shi, mats_ref[o], dt, pdef)
+                     + _dot(shi, matl_ref[o], dt, pdef)
+                     + _dot(slo, mats_ref[o], dt, pdef))
+            else:
+                y = _dot(shi, mats_ref[o], dt, precision)
+            return acc + y.reshape(t, t, hz, rb)
+
+        acc = lax.fori_loop(o0, o1, step, acc)
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("h", "r", "r2", "tile",
+                                             "interpret", "precision",
+                                             "threepass"))
+def m2l_grid_blocked(qp, mats_blk, h: int, r: int, r2: int,
+                     tile: int = 4, interpret: Optional[bool] = None,
+                     precision=lax.Precision.HIGHEST,
+                     threepass: bool = True):
+    """Sibling-blocked dense-grid M2L: the (n,n,n,r2) child grid is
+    reshaped to the (h,h,h, 8*r2) PARENT grid (h = n/2, child channel
+    blocks ordered c = 4cx+2cy+cz) and swept with the 26 parent-
+    neighbor directions; each direction applies one (8*r2, 8*r) block
+    operator assembled from the child-pair tables (near child pairs
+    zeroed).  vs the 316-offset masked sweep (`m2l_grid`) this runs
+    26*64 = 1664 (r2 x r) GEMM-blocks per parent instead of 316*8 =
+    2528 masked ones (0.66x flops, no parity masks) and concatenates
+    the output rank to 8r, removing the r -> 128 lane pad (r=72 at
+    Laplace p=6: 78% -> 11% waste).  Reference role: the PVFMM
+    V-list/Hadamard stage, fmm-wrapper.txx:788-936.
+
+    qp (h+2, h+2, h+2, 8*r2) zero-margin padded parent grid;
+    mats_blk (26, 8*r2, 8*r) dz-sorted (`_blocked_tables` order).
+    -> (h, h, h, 8*r) parent-blocked down-check contributions."""
+    if interpret is None:
+        from ..config import config
+        interpret = config.pallas_interpret or (
+            jax.default_backend() not in ("tpu", "axon"))
+    t = min(tile, h)
+    assert h % t == 0 and h >= 2
+    groups, dxy = _blk_dir_tables()
+    r2b, rb = 8 * r2, 8 * r
+    z8 = -(-(h + 2) // 8) * 8
+    R2 = -(-r2b // 128) * 128
+    Rr = -(-rb // 128) * 128
+    qp = jnp.pad(qp, ((0, 0), (0, 0), (0, z8 - (h + 2)),
+                      (0, R2 - r2b)))
+    mats_blk = jnp.pad(mats_blk, ((0, 0), (0, R2 - r2b),
+                                  (0, Rr - rb)))
+    if threepass:
+        mats_hi, mats_lo = _split_hi_lo(mats_blk)
+        mdt = jnp.bfloat16
+    else:
+        mats_hi, mats_lo = mats_blk, mats_blk[:, :1, :1] * 0
+        mdt = qp.dtype
+    grid = (h // t, h // t)
+    w = t + 2
+    out = pl.pallas_call(
+        functools.partial(_blk_body, groups, t, h, z8, Rr, R2,
+                          precision, threepass),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((t, t, h, Rr), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, h, h, Rr), qp.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((w, w, z8, R2), qp.dtype),
+            pltpu.VMEM((w, w, h, R2), mdt),
+            pltpu.VMEM((w, w, h, R2) if threepass else (8, 8, 8, 128),
+                       mdt),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=(3 if threepass else 6) * 26 * int(h) ** 3
+            * int(R2) * int(Rr),
+            bytes_accessed=(qp.size + 26 * R2 * Rr * (h // t) ** 2
+                            + int(h) ** 3 * Rr) * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2 ** 20),
+        interpret=interpret,
+    )(qp, jnp.asarray(dxy), mats_hi, mats_lo)
+    return out[..., :rb]
+
+
+@functools.lru_cache(maxsize=None)
+def _blk_dir_tables():
+    """dz-sorted parent-direction tables for the blocked kernel:
+    run groups [(dz, start, end)] and the (26, 2) (dx, dy) SMEM
+    table; order matches `blocked_m2l_mats`."""
+    dirs = _blk_dirs()
+    groups = []
+    for dz in (-1, 0, 1):
+        idx = np.nonzero(dirs[:, 2] == dz)[0]
+        groups.append((int(dz), int(idx[0]), int(idx[-1]) + 1))
+    dxy = np.ascontiguousarray(dirs[:, :2]).astype(np.int32)
+    return tuple(groups), dxy
+
+
+@functools.lru_cache(maxsize=None)
+def _blk_dirs() -> np.ndarray:
+    """(26, 3) parent-neighbor directions, dz-major sort (stable) so
+    the kernel's dz run groups are contiguous."""
+    dirs = np.array([(dx, dy, dz) for dx in (-1, 0, 1)
+                     for dy in (-1, 0, 1) for dz in (-1, 0, 1)
+                     if (dx, dy, dz) != (0, 0, 0)])
+    return dirs[np.argsort(dirs[:, 2], kind="stable")]
+
+
+def blocked_m2l_mats(ca: np.ndarray, offsets: np.ndarray,
+                     valid: np.ndarray, r_cap: int,
+                     r2_cap: int) -> np.ndarray:
+    """Assemble the (26, 8*r2_cap, 8*r_cap) sibling-blocked operator
+    stack from the compressed per-offset tables ca (316, r, r2), in
+    `_blk_dirs()` order.  Child-pair block (cs, ct) of direction D is
+    A_o^T for the child-level offset d = 2D + cs - ct when (o, parity
+    ct) is V-list-valid, else zero (those pairs are near-field).
+    Output (row, col) = (cs*r2 + :, ct*r + :) so the GEMM
+    q_blk (rows, 8*r2) @ W -> (rows, 8*r) sums source children into
+    every target child."""
+    omap = {tuple(d): i for i, d in enumerate(offsets)}
+    r2c, rc = r2_cap, r_cap
+    W = np.zeros((26, 8 * r2c, 8 * rc), ca.dtype)
+    for k, D in enumerate(_blk_dirs()):
+        for ct in range(8):
+            tx, ty, tz = (ct >> 2) & 1, (ct >> 1) & 1, ct & 1
+            for cs in range(8):
+                sx, sy, sz = (cs >> 2) & 1, (cs >> 1) & 1, cs & 1
+                d = (2 * D[0] + sx - tx, 2 * D[1] + sy - ty,
+                     2 * D[2] + sz - tz)
+                o = omap.get(d)
+                if o is None or not valid[ct, o]:
+                    continue
+                W[k, cs * r2c:(cs + 1) * r2c, ct * rc:(ct + 1) * rc] \
+                    = ca[o, :rc, :r2c].T
+    return W
 
 
 @functools.lru_cache(maxsize=None)

@@ -54,10 +54,15 @@ def _rinv_t(r2):
     afterwards has no effect on the cached executable (clear with
     jax.clear_caches() when A/B-measuring in one process)."""
     from ..config import config
-    r2s = jnp.where(r2 > 0, r2, 1.0)
-    x = lax.rsqrt(r2s)
     if config.p2p_newton:
+        r2s = jnp.where(r2 > 0, r2, 1.0)
+        x = lax.rsqrt(r2s)
         x = x * (1.5 - 0.5 * r2s * x * x)
+        return jnp.where(r2 > 0, x, 0.0)
+    # max() instead of a select pair: rsqrt(1e-30) is finite (~1e15),
+    # the single select still zeroes self/padding slots exactly
+    # (measured ~2% of the stencil tile, scripts/p2p_opcost.py)
+    x = lax.rsqrt(jnp.maximum(r2, 1e-30))
     return jnp.where(r2 > 0, x, 0.0)
 
 
@@ -448,6 +453,93 @@ def p2p_stencil(kernel: KernelSpec, nside: int, cap_s: int, cap_t: int,
             * int(cap_s)),
         interpret=interpret,
     )(xt_g, *([xs_g] * 9), *([ns_g] * 9), *([f_g] * 9))
+    return out
+
+
+def _stencil9_body(tile_fn, nside, SL, needs_ns, xt_ref, xs_ref,
+                   ns_ref, f_ref, out_ref):
+    """One program = one z-column at grid position (x, y), reading its
+    own PRE-PACKED slab column: slab entry z (margin coords) holds the
+    9 neighbor columns' box (x+dx, y+dy, z-1) points in lane sub-blocks
+    of cap9 each, zeros elsewhere.  The 27-box neighborhood of target
+    box z is the contiguous, SL-aligned lane window [z*SL, (z+3)*SL) —
+    no shifted block fetches, no boundary masks, no lane-parity
+    alignment slack (all baked into the slab at build time)."""
+
+    def body(z, _):
+        xt_t = xt_ref[0, 0, z]                             # (3, T)
+        off = pl.multiple_of(z * SL, SL)
+        xs_t = xs_ref[0, 0, :, pl.ds(off, 3 * SL)]
+        ns_t = (ns_ref[0, 0, :, pl.ds(off, 3 * SL)] if needs_ns
+                else xs_t)                   # ignored by the tile fn
+        f_t = f_ref[0, 0, :, pl.ds(off, 3 * SL)]
+        out_ref[0, 0, z] = tile_fn(xt_t, xs_t, ns_t, f_t)  # (T, k1)
+        return 0
+
+    lax.fori_loop(0, nside, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "nside", "SL",
+                                             "cap_t", "interpret"))
+def p2p_stencil9(kernel: KernelSpec, nside: int, SL: int, cap_t: int,
+                 xt_g, xs_s, ns_s, f_s,
+                 interpret: Optional[bool] = None):
+    """Uniform-grid near-field P2P over pre-packed 9-column slabs.
+
+    vs `p2p_stencil` (9 shifted column windows of 3*cap_s + 64
+    alignment lanes each = 2304 source slots per target at cap 64)
+    this reads ONE slab column per program whose per-z entry already
+    contains all 9 (dx, dy) neighbor columns' box points side by side
+    (SL = 128-aligned 9*cap9 lanes); the 27-box neighborhood is a
+    single aligned 3*SL window (1536 slots at cap9=56) with boundary
+    zeros and slot padding baked in at build time — 33% fewer padded
+    pair-slots and no per-z mask/select/concat work.  Reference hot
+    loop: generic-kernel.txx:76-189.
+
+    xt_g (n, n, n, 3, cap_t): target coords per box (raster order).
+    xs_s (n, n, 3, (n+2)*SL): packed slab columns (z margin included).
+    ns_s like xs_s (pass a (n, n, 3, 128) dummy when the kernel needs
+        no normals; it is neither read nor DMA'd meaningfully).
+    f_s (n, n, k0, (n+2)*SL): densities, ZERO in padding.
+    -> (n, n, n, cap_t, k1) unscaled potentials in raster order.
+    """
+    if interpret is None:
+        from ..config import config
+        interpret = config.pallas_interpret or (
+            jax.default_backend() not in ("tpu", "axon"))
+    if SL % 128:
+        raise ValueError(f"SL={SL} must be a 128-multiple")
+    k0, k1 = kernel.kdim0, kernel.kdim1
+    tile_fn = _LTILE_FNS[kernel.name]
+    n = nside
+    needs_ns = kernel.needs_normal
+
+    def own(rows, arr):
+        return pl.BlockSpec((1, 1, rows, arr.shape[-1]),
+                            lambda x, y: (x, y, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_stencil9_body, tile_fn, n, SL, needs_ns),
+        grid=(n, n),
+        in_specs=[
+            pl.BlockSpec((1, 1, n, 3, cap_t),
+                         lambda x, y: (x, y, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            own(3, xs_s), own(3, ns_s), own(k0, f_s),
+        ],
+        out_specs=pl.BlockSpec((1, 1, n, cap_t, k1),
+                               lambda x, y: (x, y, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, n, n, cap_t, k1),
+                                       xt_g.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=int(n) ** 3 * int(cap_t) * 3 * int(SL)
+            * kernel.flops,
+            bytes_accessed=(xt_g.size + xs_s.size + f_s.size) * 4,
+            transcendentals=int(n) ** 3 * int(cap_t) * 3 * int(SL)),
+        interpret=interpret,
+    )(xt_g, xs_s, ns_s, f_s)
     return out
 
 
