@@ -186,9 +186,16 @@ class BoundaryIntegralOp:
         return np.asarray(v).reshape(len(w), -1) / w[:, None]
 
     # -- setup (reference: boundary_integral.txx:591-598) -----------------
-    def setup(self):
+    def setup(self, comm=None):
+        """comm: optional mesh communicator — when given (or set at
+        construction) with more than one device, the near-pair search
+        runs DISTRIBUTED over the mesh (build_near_list_fn: cell-key
+        routing + neighbor join, the reference's production path,
+        boundary_integral.txx:46-183); the host grid search is the
+        1-device fallback."""
         if self._setup_done:
             return self
+        comm = comm if comm is not None else self.comm
         ker = self.kernel
         # SetupBasic: concatenate element lists
         Xs, Ns, cnts, far_parts = [], [], [], []
@@ -243,13 +250,79 @@ class BoundaryIntegralOp:
         loaded = (self.near_cache is not None
                   and self._load_near_cache(self.near_cache))
         if not loaded:
-            self._build_near_list()
+            if comm is not None and getattr(comm, "mesh", None) \
+                    is not None and comm.size() > 1:
+                self._build_near_list_dist(comm)
+            else:
+                self._build_near_list()
             self._build_near_matrices()
             if self.near_cache is not None:
                 self._save_near_cache(self.near_cache)
         self._setup_device_apply()
         self._setup_done = True
         return self
+
+    def _build_near_list_dist(self, comm):
+        """Distributed near-pair search over the comm mesh — the
+        production setup path (reference: BuildNearList IS what Setup
+        calls, boundary_integral.txx:46-183).  Targets and far nodes
+        are block-sharded, `build_near_list_fn` routes them by grid
+        cell, joins, and returns the deduplicated pairs grouped by
+        target block; the host gathers the (small) pair list for the
+        near-matrix assembly."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from .dist import build_near_list_fn
+
+        ndev = comm.size()
+        mesh = comm.mesh
+        nt, nf = len(self.Xt_eff), len(self.Xf)
+        Ct, Cf = -(-nt // ndev), -(-nf // ndev)
+        elem_of_f = np.repeat(np.arange(len(self.far_cnt)),
+                              self.far_cnt)
+
+        def blocks(a, C, fill=0.0):
+            out = np.full((ndev * C,) + a.shape[1:], fill, a.dtype)
+            out[:len(a)] = a
+            return out
+
+        sh = lambda s: NamedSharding(mesh, P(*s))
+        put = jax.device_put
+        Xt = put(jnp.asarray(blocks(self.Xt_eff, Ct)), sh(("x", None)))
+        tg = put(jnp.asarray(blocks(np.arange(nt), Ct)), sh(("x",)))
+        Xf = put(jnp.asarray(blocks(self.Xf, Cf)), sh(("x", None)))
+        df = put(jnp.asarray(blocks(self.df, Cf)), sh(("x",)))
+        fe = put(jnp.asarray(blocks(elem_of_f, Cf)), sh(("x",)))
+        tcnt = put(jnp.asarray(np.minimum(np.maximum(
+            nt - np.arange(ndev) * Ct, 0), Ct), jnp.int32), sh(("x",)))
+        fcnt = put(jnp.asarray(np.minimum(np.maximum(
+            nf - np.arange(ndev) * Cf, 0), Cf), jnp.int32), sh(("x",)))
+        # pair budget per device: ~40 near elements per target is far
+        # beyond any resolved-quadrature geometry (the bench torus
+        # measures ~9); the assert below catches an overflow
+        cap_out = 64 * max(Ct, 64)
+        fn = build_near_list_fn(comm, ndev, Ct, Cf,
+                                cap_route_t=ndev * Ct,
+                                cap_route_f=-(-27 * nf // ndev) + Cf,
+                                cap_join=128 * ndev * Cf,
+                                cap_out=cap_out)
+        pt, pe, n_u = jax.jit(comm.run(
+            lambda *a: fn(a[0], a[1][0], a[2], a[3], a[4], a[5],
+                          a[6][0]),
+            in_specs=(P("x", None), P("x"), P("x"), P("x", None),
+                      P("x"), P("x"), P("x")),
+            out_specs=(P("x"), P("x"), P("x"))))(
+            Xt, tcnt, tg, Xf, df, fe, fcnt)
+        pt = np.asarray(pt).reshape(ndev, -1)
+        pe = np.asarray(pe).reshape(ndev, -1)
+        n_u = np.asarray(n_u).reshape(-1)
+        assert int(n_u.max(initial=0)) < cap_out, \
+            "distributed near search overflowed cap_out"
+        te = [np.stack([pt[d, :n_u[d]], pe[d, :n_u[d]]], 1)
+              for d in range(ndev)]
+        te = (np.concatenate(te) if te
+              else np.zeros((0, 2), np.int64))
+        self.near_pairs = [(int(a), int(b)) for a, b in te]
 
     # -- near-setup disk cache -------------------------------------------
     def _near_key(self) -> str:
