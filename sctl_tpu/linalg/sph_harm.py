@@ -57,6 +57,31 @@ def sh_dim(p: int) -> int:
     return (p + 1) ** 2
 
 
+def _sh_disk_cache(name: str, build, min_bytes: int = 1 << 22):
+    """MatrixStorage analogue (reference sph_harm.hpp:207-258: high-
+    degree SH tables are built once and served from disk, enabling
+    SCTL_SHMAXDEG = 1024): np.savez cache under SCTL_DATA_PATH for
+    table dicts whose total size exceeds `min_bytes` (small-degree
+    tables stay memory-only — the lru_cache already covers them)."""
+    import os
+    from ..config import config
+    path = os.path.join(config.data_path, f"sh_{name}_v1.npz")
+    if os.path.exists(path):
+        try:
+            with np.load(path) as z:
+                return {k: z[k] for k in z.files}
+        except Exception:
+            pass
+    out = build()
+    if sum(v.nbytes for v in out.values()) >= min_bytes:
+        try:
+            os.makedirs(config.data_path, exist_ok=True)
+            np.savez(path, **out)
+        except OSError:
+            pass
+    return out
+
+
 @functools.lru_cache(maxsize=None)
 def _legendre_tables(p: int, nt: int):
     """Normalized associated Legendre values at GL nodes.
@@ -64,8 +89,20 @@ def _legendre_tables(p: int, nt: int):
     Returns (P (p+1, p+1, nt), theta (nt,), wts (nt,)): P[m, l] is
     N_lm P_l^m(cos theta) (zero for l < m).  Stable (l,m) three-term
     recurrence on the fully normalized functions.  (Derivative/csc
-    tables come from `_legendre_trio`, which is pole-safe.)
+    tables come from `_legendre_trio`, which is pole-safe.)  Served
+    from the disk cache at high degree (the reference's MatrixStorage
+    discipline, sph_harm.hpp:13, 207-258).
     """
+    if p >= 128:
+        d = _sh_disk_cache(f"legendre_p{p}_nt{nt}",
+                           lambda: dict(zip(
+                               ("P", "theta", "w"),
+                               _legendre_tables_build(p, nt))))
+        return d["P"], d["theta"], d["w"]
+    return _legendre_tables_build(p, nt)
+
+
+def _legendre_tables_build(p: int, nt: int):
     x01, w01 = leg_quad_rule(nt)
     ct = 1 - 2 * x01              # cos(theta) in (-1, 1), descending
     theta = np.arccos(ct)
@@ -148,16 +185,22 @@ class SphericalHarmonics:
         if self._dPQ is not None:
             return
         p = self.p
-        ct, st = np.cos(self.theta), np.sin(self.theta)
-        Pt, dPt, Qt = _legendre_trio(p, ct, st, np)
-        dPa = np.zeros((p + 1, p + 1, self.nt))
-        Qa = np.zeros((p + 1, p + 1, self.nt))
-        for m in range(p + 1):
-            for l in range(m, p + 1):
-                dPa[m, l] = dPt[m][l]
-                if m >= 1:
-                    Qa[m, l] = Qt[m][l]
-        self._dPQ = (jnp.asarray(dPa), jnp.asarray(Qa))
+
+        def build():
+            ct, st = np.cos(self.theta), np.sin(self.theta)
+            Pt, dPt, Qt = _legendre_trio(p, ct, st, np)
+            dPa = np.zeros((p + 1, p + 1, self.nt))
+            Qa = np.zeros((p + 1, p + 1, self.nt))
+            for m in range(p + 1):
+                for l in range(m, p + 1):
+                    dPa[m, l] = dPt[m][l]
+                    if m >= 1:
+                        Qa[m, l] = Qt[m][l]
+            return {"dP": dPa, "Q": Qa}
+
+        d = (_sh_disk_cache(f"dpq_p{p}_nt{self.nt}", build)
+             if p >= 128 else build())
+        self._dPQ = (jnp.asarray(d["dP"]), jnp.asarray(d["Q"]))
 
     # -- grid <-> coefficients -------------------------------------------
     # Real orthonormal basis: Y_l0 = P[0,l];

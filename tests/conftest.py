@@ -22,6 +22,19 @@ jax.config.update("jax_enable_x64", True)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# XLA's in-process CPU collectives terminate the PROCESS when a
+# rendezvous takes > 40 s (hardcoded, xla rendezvous.cc:127: "Exiting
+# to ensure a consistent program state").  On hosts with fewer cores
+# than mesh devices the 8 shard threads timeshare the cores, so any
+# shard program with > ~40s/8 of compute between two collectives
+# aborts the whole test run.  Gate only the HEAVY mesh programs on
+# this; everything light still exercises the collective paths.
+CPU_STARVED = (os.cpu_count() or 1) < 4
+skip_if_cpu_starved = pytest.mark.skipif(
+    CPU_STARVED,
+    reason="heavy 8-device shard program vs XLA CPU collectives' "
+    "hardcoded 40 s rendezvous termination on a <4-core host")
+
 
 @pytest.fixture(scope="session")
 def mesh8():

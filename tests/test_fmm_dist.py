@@ -18,7 +18,11 @@ def rel_err(u, ref):
     return float(np.abs(u - ref).max() / (np.abs(ref).max() + 1e-300))
 
 
-@pytest.mark.parametrize("depth", [3, 4])
+from conftest import skip_if_cpu_starved  # noqa: E402
+
+
+@pytest.mark.parametrize("depth", [
+    3, pytest.param(4, marks=skip_if_cpu_starved)])
 def test_dist_matches_direct(mesh8, depth):
     n = 5000
     xs = RNG.random((n, 3))

@@ -403,6 +403,32 @@ def test_high_degree_roundtrip():
     assert dt < 60.0, f"p=128 roundtrip took {dt:.1f}s"
 
 
+def test_p256_roundtrip_matrixstorage():
+    """p=256 roundtrip (VERDICT r3 #10): the Legendre tables are
+    served through the MatrixStorage-analogue disk cache
+    (sph_harm.hpp:207-258; `_sh_disk_cache`), so the second
+    construction is read-from-disk.  Asserts the cache file exists
+    after the first build and the transform stays accurate."""
+    import os
+    import time
+    from sctl_tpu.config import config
+
+    p = 256
+    sh = SphericalHarmonics(p)
+    s = RNG.normal(size=sh_dim(p))
+    back = np.asarray(sh.grid2shc(sh.shc2grid(s)))
+    np.testing.assert_allclose(back, s, atol=1e-9)
+    path = os.path.join(config.data_path,
+                        f"sh_legendre_p{p}_nt{sh.nt}_v1.npz")
+    assert os.path.exists(path), path
+    # cached rebuild is fast (table read, no recurrence)
+    from sctl_tpu.linalg.sph_harm import _legendre_tables
+    _legendre_tables.cache_clear()
+    t0 = time.time()
+    SphericalHarmonics(p)
+    assert time.time() - t0 < 30.0
+
+
 def test_shc_arrange_layouts():
     """The reference's three SHCArrange storage layouts roundtrip the
     packed coefficients and have the documented sizes
