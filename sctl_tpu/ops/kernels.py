@@ -35,6 +35,8 @@ from typing import Callable, Dict, Optional
 import jax.numpy as jnp
 from jax import lax
 
+from .uker import UKER_APPLY, uker_matrix
+
 
 def _rinv(r2, mask=None):
     """Masked reciprocal sqrt: 0 where r2==0 (reference: approx_rsqrt
@@ -123,211 +125,101 @@ class KernelSpec:
                                                T * self.kdim1)
 
 
-# ---------------------------------------------------------------------------
-# Laplace 3D
-# ---------------------------------------------------------------------------
+class _ApplyLayout:
+    """uker adapter for the (T, S) jnp.dot lowering of the applied
+    kernels (direct_eval, ring EvalDirect): pairwise scalar fields on
+    (T, S), moments as one HIGHEST-precision (T,S)x(S,k) matmul."""
+    __slots__ = ("xt", "xs", "ns", "fv", "mask")
 
-def _lap_fxu_matrix(dx, n):
-    r2 = jnp.sum(dx * dx, axis=-1)
-    return _rinv(r2)[..., None, None]
+    def __init__(self, xt, xs, ns, f, mask):
+        self.xt, self.xs, self.ns, self.fv = xt, xs, ns, f
+        self.mask = mask
 
+    def r2(self):
+        return _pairwise_r2(self.xt, self.xs)
 
-def _lap_fxu_apply(xt, xs, ns, f, mask=None):
-    r2 = _pairwise_r2(xt, xs)
-    return jnp.dot(_rinv(r2, mask), f,
-                   preferred_element_type=f.dtype,
-                 precision=lax.Precision.HIGHEST)
+    def rinv(self, r2):
+        return _rinv(r2, self.mask)
 
+    def rdotf(self, idx):
+        return _rdot(self.xt, self.xs, self.fv[:, :3])
 
-def _lap_dxu_matrix(dx, n):
-    r2 = jnp.sum(dx * dx, axis=-1)
-    rinv = _rinv(r2)
-    rdotn = jnp.sum(dx * n, axis=-1)
-    return (rdotn * rinv * rinv * rinv)[..., None, None]
+    def rdotn(self):
+        return _rdot(self.xt, self.xs, self.ns)
 
+    def f(self, i):
+        return self.fv[:, i]
 
-def _lap_dxu_apply(xt, xs, ns, f, mask=None):
-    r2 = _pairwise_r2(xt, xs)
-    rinv = _rinv(r2, mask)
-    rdotn = _rdot(xt, xs, ns)
-    return jnp.dot(rdotn * rinv * rinv * rinv, f,
-                   preferred_element_type=f.dtype,
-                 precision=lax.Precision.HIGHEST)
+    def s(self, d):
+        return self.xs[:, d]
 
+    def ones(self):
+        return jnp.ones_like(self.xs[:, 0])
 
-def _lap_fxdu_matrix(dx, n):
-    r2 = jnp.sum(dx * dx, axis=-1)
-    rinv = _rinv(r2)
-    rinv3 = (rinv * rinv * rinv)[..., None]
-    return (dx * rinv3)[..., None, :]                   # (...,1,3)
+    def moments(self, field, ws):
+        B = jnp.stack(ws, axis=1)                        # (S, k)
+        H = jnp.dot(field, B, preferred_element_type=self.fv.dtype,
+                    precision=lax.Precision.HIGHEST)     # (T, k)
+        return [H[:, i:i + 1] for i in range(len(ws))]
 
+    def t(self, d):
+        return self.xt[:, d:d + 1]
 
-def _lap_fxdu_apply(xt, xs, ns, f, mask=None):
-    # out_i = sum_s r_i rinv3 f_s = xt_i*(rinv3@f) - rinv3@(xs_i*f)
-    r2 = _pairwise_r2(xt, xs)
-    rinv = _rinv(r2, mask)
-    rinv3 = rinv * rinv * rinv
-    B = jnp.concatenate([f, xs * f], axis=1)            # (S,4)
-    H = jnp.dot(rinv3, B, preferred_element_type=f.dtype,
-                 precision=lax.Precision.HIGHEST)  # (T,4)
-    return xt * H[:, :1] - H[:, 1:4]
+    def out(self, cols):
+        return (jnp.concatenate(cols, axis=1) if len(cols) > 1
+                else cols[0])
 
 
-# ---------------------------------------------------------------------------
-# Stokes 3D
-# ---------------------------------------------------------------------------
+def _uker_apply_fn(name):
+    body = UKER_APPLY[name]
 
-def _stk_fxu_matrix(dx, n):
-    r2 = jnp.sum(dx * dx, axis=-1)
-    rinv = _rinv(r2)
-    rinv3 = rinv * rinv * rinv
-    eye = jnp.eye(3, dtype=dx.dtype)
-    return (eye * rinv[..., None, None]
-            + dx[..., :, None] * dx[..., None, :] * rinv3[..., None, None])
+    def apply_fn(xt, xs, ns, f, mask=None):
+        return body(_ApplyLayout(xt, xs, ns, f, mask))
+
+    return apply_fn
 
 
-def _stk_fxu_terms(xt, xs, f, rinv, rinv3):
-    """Shared Stokeslet application: rinv@f + r (r.f) rinv3."""
-    term1 = jnp.dot(rinv, f, preferred_element_type=f.dtype,
-                 precision=lax.Precision.HIGHEST)
-    C = _rdot(xt, xs, f) * rinv3                        # (T,S)
-    B = jnp.concatenate([jnp.ones_like(xs[:, :1]), xs], axis=1)  # (S,4)
-    H = jnp.dot(C, B, preferred_element_type=f.dtype,
-                 precision=lax.Precision.HIGHEST)   # (T,4)
-    return term1 + xt * H[:, :1] - H[:, 1:4]
+def _uker_matrix_fn(name):
+    def matrix_fn(dx, n):
+        r2 = jnp.sum(dx * dx, axis=-1)
+        return uker_matrix(name, dx, _rinv(r2), n, jnp)
 
-
-def _stk_fxu_apply(xt, xs, ns, f, mask=None):
-    r2 = _pairwise_r2(xt, xs)
-    rinv = _rinv(r2, mask)
-    return _stk_fxu_terms(xt, xs, f, rinv, rinv * rinv * rinv)
-
-
-def _stk_dxu_matrix(dx, n):
-    r2 = jnp.sum(dx * dx, axis=-1)
-    rinv = _rinv(r2)
-    rinv2 = rinv * rinv
-    rinv5 = rinv2 * rinv2 * rinv
-    rdotn = jnp.sum(dx * n, axis=-1)
-    s = (rdotn * rinv5)[..., None, None]
-    return dx[..., :, None] * dx[..., None, :] * s
-
-
-def _stk_dxu_apply(xt, xs, ns, f, mask=None):
-    # out_j = sum_s r_j (r.f)(r.n) rinv5
-    r2 = _pairwise_r2(xt, xs)
-    rinv = _rinv(r2, mask)
-    rinv2 = rinv * rinv
-    D = _rdot(xt, xs, f) * _rdot(xt, xs, ns) * (rinv2 * rinv2 * rinv)
-    B = jnp.concatenate([jnp.ones_like(xs[:, :1]), xs], axis=1)
-    H = jnp.dot(D, B, preferred_element_type=f.dtype,
-                 precision=lax.Precision.HIGHEST)
-    return xt * H[:, :1] - H[:, 1:4]
-
-
-def _stk_fxt_matrix(dx, n):
-    r2 = jnp.sum(dx * dx, axis=-1)
-    rinv = _rinv(r2)
-    rinv2 = rinv * rinv
-    rinv5 = (rinv2 * rinv2 * rinv)[..., None, None, None]
-    rr = dx[..., :, None, None] * dx[..., None, :, None] \
-        * dx[..., None, None, :] * rinv5                 # (...,3,3,3)
-    return rr.reshape(rr.shape[:-3] + (3, 9))
-
-
-def _stk_fxt_apply(xt, xs, ns, f, mask=None):
-    # out_{jk} = sum_s (r.f) rinv5 r_j r_k ; expand r_j r_k into moments
-    r2 = _pairwise_r2(xt, xs)
-    rinv = _rinv(r2, mask)
-    rinv2 = rinv * rinv
-    E = _rdot(xt, xs, f) * (rinv2 * rinv2 * rinv)        # (T,S)
-    ones = jnp.ones_like(xs[:, :1])
-    xx = (xs[:, :, None] * xs[:, None, :]).reshape(-1, 9)
-    B = jnp.concatenate([ones, xs, xx], axis=1)          # (S,13)
-    H = jnp.dot(E, B, preferred_element_type=f.dtype,
-                 precision=lax.Precision.HIGHEST)    # (T,13)
-    h0, hx, hxx = H[:, :1], H[:, 1:4], H[:, 4:13].reshape(-1, 3, 3)
-    out = (xt[:, :, None] * xt[:, None, :] * h0[:, :, None]
-           - xt[:, :, None] * hx[:, None, :]
-           - hx[:, :, None] * xt[:, None, :] + hxx)
-    return out.reshape(-1, 9)
-
-
-def _stk_fsxu_matrix(dx, n):
-    stk = _stk_fxu_matrix(dx, n)                         # (...,3,3)
-    r2 = jnp.sum(dx * dx, axis=-1)
-    rinv = _rinv(r2)
-    rinv3 = (rinv * rinv * rinv)[..., None]
-    src = (dx * rinv3)[..., None, :]                     # (...,1,3)
-    return jnp.concatenate([stk, src], axis=-2)          # (...,4,3)
-
-
-def _stk_fsxu_apply(xt, xs, ns, f, mask=None):
-    r2 = _pairwise_r2(xt, xs)
-    rinv = _rinv(r2, mask)
-    rinv3 = rinv * rinv * rinv
-    u = _stk_fxu_terms(xt, xs, f[:, :3], rinv, rinv3)
-    # source/sink: u_j += sum_s r_j rinv3 q_s
-    q = f[:, 3:4]
-    B = jnp.concatenate([q, xs * q], axis=1)
-    H = jnp.dot(rinv3, B, preferred_element_type=f.dtype,
-                 precision=lax.Precision.HIGHEST)
-    return u + xt * H[:, :1] - H[:, 1:4]
-
-
-def _stk_fxup_matrix(dx, n):
-    stk = _stk_fxu_matrix(dx, n)                         # (...,3,3)
-    r2 = jnp.sum(dx * dx, axis=-1)
-    rinv = _rinv(r2)
-    rinv3 = (rinv * rinv * rinv)[..., None]
-    p = (dx * rinv3)[..., :, None]                       # (...,3,1)
-    return jnp.concatenate([stk, p], axis=-1)            # (...,3,4)
-
-
-def _stk_fxup_apply(xt, xs, ns, f, mask=None):
-    r2 = _pairwise_r2(xt, xs)
-    rinv = _rinv(r2, mask)
-    rinv3 = rinv * rinv * rinv
-    u = _stk_fxu_terms(xt, xs, f, rinv, rinv3)
-    # pressure: p = sum_s (r.f) rinv3
-    C = _rdot(xt, xs, f) * rinv3
-    p = jnp.sum(C, axis=1, keepdims=True)
-    return jnp.concatenate([u, p], axis=1)
+    return matrix_fn
 
 
 _PI = math.pi
 
 Laplace3D_FxU = KernelSpec(
     "Laplace3D-FxU", 3, 1, 1, False, 6, 1 / (4 * _PI),
-    _lap_fxu_matrix, _lap_fxu_apply, scale_exp=-1.0,
+    _uker_matrix_fn("Laplace3D-FxU"), _uker_apply_fn("Laplace3D-FxU"), scale_exp=-1.0,
     src_scal=(1.0,), trg_scal=(0.0,))
 Laplace3D_DxU = KernelSpec(
     "Laplace3D-DxU", 3, 1, 1, True, 14, 1 / (4 * _PI),
-    _lap_dxu_matrix, _lap_dxu_apply, scale_exp=-2.0,
+    _uker_matrix_fn("Laplace3D-DxU"), _uker_apply_fn("Laplace3D-DxU"), scale_exp=-2.0,
     src_scal=(2.0,), trg_scal=(0.0,))
 Laplace3D_FxdU = KernelSpec(
     "Laplace3D-FxdU", 3, 1, 3, False, 11, -1 / (4 * _PI),
-    _lap_fxdu_matrix, _lap_fxdu_apply, scale_exp=-2.0,
+    _uker_matrix_fn("Laplace3D-FxdU"), _uker_apply_fn("Laplace3D-FxdU"), scale_exp=-2.0,
     src_scal=(1.0,), trg_scal=(1.0, 1.0, 1.0))
 Stokes3D_FxU = KernelSpec(
     "Stokes3D-FxU", 3, 3, 3, False, 23, 1 / (8 * _PI),
-    _stk_fxu_matrix, _stk_fxu_apply, scale_exp=-1.0,
+    _uker_matrix_fn("Stokes3D-FxU"), _uker_apply_fn("Stokes3D-FxU"), scale_exp=-1.0,
     src_scal=(1.0, 1.0, 1.0), trg_scal=(0.0, 0.0, 0.0))
 Stokes3D_DxU = KernelSpec(
     "Stokes3D-DxU", 3, 3, 3, True, 26, 3 / (4 * _PI),
-    _stk_dxu_matrix, _stk_dxu_apply, scale_exp=-2.0,
+    _uker_matrix_fn("Stokes3D-DxU"), _uker_apply_fn("Stokes3D-DxU"), scale_exp=-2.0,
     src_scal=(2.0, 2.0, 2.0), trg_scal=(0.0, 0.0, 0.0))
 Stokes3D_FxT = KernelSpec(
     "Stokes3D-FxT", 3, 3, 9, False, 39, -3 / (4 * _PI),
-    _stk_fxt_matrix, _stk_fxt_apply, scale_exp=-2.0,
+    _uker_matrix_fn("Stokes3D-FxT"), _uker_apply_fn("Stokes3D-FxT"), scale_exp=-2.0,
     src_scal=(1.0, 1.0, 1.0), trg_scal=(1.0,) * 9)
 Stokes3D_FSxU = KernelSpec(
     "Stokes3D-FSxU", 3, 4, 3, False, 26, 1 / (8 * _PI),
-    _stk_fsxu_matrix, _stk_fsxu_apply, scale_exp=-1.0,
+    _uker_matrix_fn("Stokes3D-FSxU"), _uker_apply_fn("Stokes3D-FSxU"), scale_exp=-1.0,
     src_scal=(1.0, 1.0, 1.0, 2.0), trg_scal=(0.0, 0.0, 0.0))
 Stokes3D_FxUP = KernelSpec(
     "Stokes3D-FxUP", 3, 3, 4, False, 26, 1 / (8 * _PI),
-    _stk_fxup_matrix, _stk_fxup_apply, scale_exp=-1.0,
+    _uker_matrix_fn("Stokes3D-FxUP"), _uker_apply_fn("Stokes3D-FxUP"), scale_exp=-1.0,
     src_scal=(1.0, 1.0, 1.0), trg_scal=(0.0, 0.0, 0.0, 1.0))
 
 KERNELS: Dict[str, KernelSpec] = {

@@ -65,39 +65,6 @@ def offset_blocks_np(ker: KernelSpec, d: np.ndarray, rinv=None,
         r2 = (d * d).sum(-1)
         rinv = np.where(r2 > 0,
                         1.0 / np.sqrt(np.where(r2 > 0, r2, 1.0)), 0.0)
-    name = ker.name
-    if name == "Laplace3D-FxU":
-        m = rinv[..., None, None]
-    elif name == "Laplace3D-DxU":
-        rdotn = (d * ns).sum(-1)
-        m = (rdotn * rinv ** 3)[..., None, None]
-    elif name == "Laplace3D-FxdU":
-        m = (d * (rinv ** 3)[..., None])[..., None, :]
-    elif name == "Stokes3D-FxU":
-        m = (np.eye(3) * rinv[..., None, None]
-             + d[..., :, None] * d[..., None, :]
-             * (rinv ** 3)[..., None, None])
-    elif name == "Stokes3D-DxU":
-        rdotn = (d * ns).sum(-1)
-        m = d[..., :, None] * d[..., None, :] * (
-            rdotn * rinv ** 5)[..., None, None]
-    elif name == "Stokes3D-FxT":
-        rr = (d[..., :, None, None] * d[..., None, :, None]
-              * d[..., None, None, :] * (rinv ** 5)[..., None, None,
-                                                    None])
-        m = rr.reshape(d.shape[:-1] + (3, 9))
-    elif name == "Stokes3D-FSxU":
-        stk = (np.eye(3) * rinv[..., None, None]
-               + d[..., :, None] * d[..., None, :]
-               * (rinv ** 3)[..., None, None])
-        src = (d * (rinv ** 3)[..., None])[..., None, :]
-        m = np.concatenate([stk, src], axis=-2)
-    elif name == "Stokes3D-FxUP":
-        stk = (np.eye(3) * rinv[..., None, None]
-               + d[..., :, None] * d[..., None, :]
-               * (rinv ** 3)[..., None, None])
-        p = (d * (rinv ** 3)[..., None])[..., :, None]
-        m = np.concatenate([stk, p], axis=-1)
-    else:
-        raise NotImplementedError(name)
+    from .uker import uker_matrix
+    m = uker_matrix(ker.name, d, rinv, ns, np)
     return m * ker.scale_factor                    # (T,S,k0,k1)

@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import profile
 from .kernels import KernelSpec, KERNELS
+from .uker import UKER_APPLY
 
 
 def _rinv_t(r2):
@@ -84,121 +85,67 @@ def _pair_rdot(xs_t, xt_t, v_t):
     return acc
 
 
-def _mm(a, b):
-    """Thin contraction (k,BS)x(BS,BT)->(k,BT) on the VPU.
+class _SubLayout:
+    """uker adapter: sources ride SUBLANES, targets ride LANES (the
+    stencil/slab P2P layout).  Moments are per-row broadcast-multiply
+    + sublane reductions on the VPU: k <= 13 for every kernel, so the
+    MXU brings no advantage (it would use k of 128 output rows and
+    round operands to bf16 — 1e-2-level errors; full-f32 MXU emulation
+    compiles ~100x slower under Mosaic)."""
+    __slots__ = ("xs", "ns", "ft", "xt")
 
-    k <= 13 for every kernel in the library, so the MXU brings no
-    advantage (it would use k of 128 output rows and round operands to
-    bf16 — 1e-2-level errors; full-f32 MXU emulation compiles ~100x
-    slower under Mosaic).  A broadcast-multiply + sublane reduction per
-    output row is exact f32 and costs 2*BS*BT flops per row on the VPU.
-    """
-    rows = [jnp.sum(b * a[i][:, None], axis=0, keepdims=True)
-            for i in range(a.shape[0])]
-    return jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+    def __init__(self, xs_t, ns_t, f_t, xt_t):
+        self.xs, self.ns, self.ft, self.xt = xs_t, ns_t, f_t, xt_t
 
+    def r2(self):
+        return _pair_r2(self.xs, self.xt)
 
-# ---- per-kernel tile functions: (xs_t, ns_t, f_t, xt_t) -> (k1, BT) ----
+    def rinv(self, r2):
+        return _rinv_t(r2)
 
-def _tile_lap_fxu(xs_t, ns_t, f_t, xt_t):
-    rinv = _rinv_t(_pair_r2(xs_t, xt_t))
-    return _mm(f_t, rinv)                                  # (1,BT)
+    def rdotf(self, idx):
+        return _pair_rdot(self.xs, self.xt, self.ft[:3])
 
+    def rdotn(self):
+        return _pair_rdot(self.xs, self.xt, self.ns)
 
-def _tile_lap_dxu(xs_t, ns_t, f_t, xt_t):
-    rinv = _rinv_t(_pair_r2(xs_t, xt_t))
-    rdotn = _pair_rdot(xs_t, xt_t, ns_t)
-    return _mm(f_t, rdotn * rinv * rinv * rinv)
+    def f(self, i):
+        return self.ft[i]
 
+    def s(self, d):
+        return self.xs[d]
 
-def _tile_lap_fxdu(xs_t, ns_t, f_t, xt_t):
-    rinv = _rinv_t(_pair_r2(xs_t, xt_t))
-    rinv3 = rinv * rinv * rinv
-    # out_d = sum_s r_d rinv3 f = xt_d * (f@rinv3) - (f*xs_d)@rinv3
-    B = jnp.concatenate([f_t, xs_t * f_t], axis=0)         # (4,BS)
-    H = _mm(B, rinv3)                                      # (4,BT)
-    return xt_t * H[0:1] - H[1:4]
+    def ones(self):
+        return jnp.ones_like(self.xs[0])
 
+    def moments(self, field, ws):
+        return [jnp.sum(field * w[:, None], axis=0, keepdims=True)
+                for w in ws]
 
-def _tile_stk_fxu(xs_t, ns_t, f_t, xt_t):
-    rinv = _rinv_t(_pair_r2(xs_t, xt_t))
-    rinv3 = rinv * rinv * rinv
-    C = _pair_rdot(xs_t, xt_t, f_t) * rinv3                # (BS,BT)
-    term1 = _mm(f_t, rinv)                                 # (3,BT)
-    B = jnp.concatenate([jnp.ones_like(xs_t[0:1]), xs_t], axis=0)
-    H = _mm(B, C)                                          # (4,BT)
-    return term1 + xt_t * H[0:1] - H[1:4]
+    def t(self, d):
+        return self.xt[d:d + 1]
 
-
-def _tile_stk_dxu(xs_t, ns_t, f_t, xt_t):
-    rinv = _rinv_t(_pair_r2(xs_t, xt_t))
-    rinv2 = rinv * rinv
-    D = (_pair_rdot(xs_t, xt_t, f_t) * _pair_rdot(xs_t, xt_t, ns_t)
-         * rinv2 * rinv2 * rinv)
-    B = jnp.concatenate([jnp.ones_like(xs_t[0:1]), xs_t], axis=0)
-    H = _mm(B, D)
-    return xt_t * H[0:1] - H[1:4]
+    def out(self, cols):
+        return (jnp.concatenate(cols, axis=0) if len(cols) > 1
+                else cols[0])
 
 
-def _tile_stk_fxt(xs_t, ns_t, f_t, xt_t):
-    rinv = _rinv_t(_pair_r2(xs_t, xt_t))
-    rinv2 = rinv * rinv
-    E = _pair_rdot(xs_t, xt_t, f_t) * (rinv2 * rinv2 * rinv)
-    ones = jnp.ones_like(xs_t[0:1])
-    xx = jnp.concatenate(
-        [xs_t[j:j + 1] * xs_t[k:k + 1] for j in range(3)
-         for k in range(3)], axis=0)                       # (9,BS)
-    B = jnp.concatenate([ones, xs_t, xx], axis=0)          # (13,BS)
-    H = _mm(B, E)                                          # (13,BT)
-    h0, hx, hxx = H[0:1], H[1:4], H[4:13]
-    rows = []
-    for j in range(3):
-        for k in range(3):
-            rows.append(xt_t[j:j + 1] * xt_t[k:k + 1] * h0
-                        - xt_t[j:j + 1] * hx[k:k + 1]
-                        - hx[j:j + 1] * xt_t[k:k + 1]
-                        + hxx[3 * j + k:3 * j + k + 1])
-    return jnp.concatenate(rows, axis=0)                   # (9,BT)
+def _sub_tile(name):
+    body = UKER_APPLY[name]
+
+    def tile(xs_t, ns_t, f_t, xt_t):          # -> (k1, BT)
+        return body(_SubLayout(xs_t, ns_t, f_t, xt_t))
+
+    return tile
 
 
-def _tile_stk_fsxu(xs_t, ns_t, f_t, xt_t):
-    u = _tile_stk_fxu(xs_t, ns_t, f_t[:3], xt_t)
-    rinv = _rinv_t(_pair_r2(xs_t, xt_t))
-    rinv3 = rinv * rinv * rinv
-    q = f_t[3:4]
-    B = jnp.concatenate([q, xs_t * q], axis=0)
-    H = _mm(B, rinv3)
-    return u + xt_t * H[0:1] - H[1:4]
+_TILE_FNS = {name: _sub_tile(name) for name in UKER_APPLY}
 
 
-def _tile_stk_fxup(xs_t, ns_t, f_t, xt_t):
-    rinv = _rinv_t(_pair_r2(xs_t, xt_t))
-    rinv3 = rinv * rinv * rinv
-    C = _pair_rdot(xs_t, xt_t, f_t) * rinv3
-    term1 = _mm(f_t, rinv)
-    B = jnp.concatenate([jnp.ones_like(xs_t[0:1]), xs_t], axis=0)
-    H = _mm(B, C)
-    u = term1 + xt_t * H[0:1] - H[1:4]
-    p = _mm(jnp.ones_like(f_t[0:1]), C)                    # (1,BT)
-    return jnp.concatenate([u, p], axis=0)
-
-
-_TILE_FNS = {
-    "Laplace3D-FxU": _tile_lap_fxu,
-    "Laplace3D-DxU": _tile_lap_dxu,
-    "Laplace3D-FxdU": _tile_lap_fxdu,
-    "Stokes3D-FxU": _tile_stk_fxu,
-    "Stokes3D-DxU": _tile_stk_dxu,
-    "Stokes3D-FxT": _tile_stk_fxt,
-    "Stokes3D-FSxU": _tile_stk_fsxu,
-    "Stokes3D-FxUP": _tile_stk_fxup,
-}
-
-
-# ---- lane-oriented tile functions: targets in SUBLANES, sources in
-# LANES ((T, S) pairwise; contraction = lane reduction).  This is the
-# layout for the per-box U-list kernel, where the source list (~1e3) is
-# much longer than the target list (~48): sources fill whole 128-lane
+# ---- lane-oriented layout: targets in SUBLANES, sources in LANES
+# ((T, S) pairwise; contraction = lane reduction).  This is the layout
+# for the per-box U-list kernel, where the source list (~1e3) is much
+# longer than the target list (~48): sources fill whole 128-lane
 # tiles, targets pack the 8-sublane granularity. -----------------------
 
 def _pair_r2_l(xt_l, xs_l):
@@ -219,100 +166,56 @@ def _pair_rdot_l(xt_l, xs_l, v_l):
     return acc
 
 
-def _lsum(M, w=None):
-    """Lane reduction: sum_s M[t,s] (* w[s]) -> (T, 1)."""
-    if w is not None:
-        M = M * w[None, :]
-    return jnp.sum(M, axis=1, keepdims=True)
+class _LaneLayout:
+    """uker adapter for the lane-oriented layout (see above)."""
+    __slots__ = ("xt", "xs", "ns", "fl")
+
+    def __init__(self, xt_l, xs_l, ns_l, f_l):
+        self.xt, self.xs, self.ns, self.fl = xt_l, xs_l, ns_l, f_l
+
+    def r2(self):
+        return _pair_r2_l(self.xt, self.xs)
+
+    def rinv(self, r2):
+        return _rinv_t(r2)
+
+    def rdotf(self, idx):
+        return _pair_rdot_l(self.xt, self.xs, self.fl[:3])
+
+    def rdotn(self):
+        return _pair_rdot_l(self.xt, self.xs, self.ns)
+
+    def f(self, i):
+        return self.fl[i]
+
+    def s(self, d):
+        return self.xs[d]
+
+    def ones(self):
+        return jnp.ones_like(self.xs[0])
+
+    def moments(self, field, ws):
+        return [jnp.sum(field * w[None, :], axis=1, keepdims=True)
+                for w in ws]
+
+    def t(self, d):
+        return self.xt[d][:, None]
+
+    def out(self, cols):
+        return (jnp.concatenate(cols, axis=1) if len(cols) > 1
+                else cols[0])
 
 
-def _ltile_lap_fxu(xt_l, xs_l, ns_l, f_l):
-    rinv = _rinv_t(_pair_r2_l(xt_l, xs_l))
-    return _lsum(rinv, f_l[0])                             # (T,1)
+def _lane_tile(name):
+    body = UKER_APPLY[name]
+
+    def tile(xt_l, xs_l, ns_l, f_l):          # -> (T, k1)
+        return body(_LaneLayout(xt_l, xs_l, ns_l, f_l))
+
+    return tile
 
 
-def _ltile_lap_dxu(xt_l, xs_l, ns_l, f_l):
-    rinv = _rinv_t(_pair_r2_l(xt_l, xs_l))
-    rdotn = _pair_rdot_l(xt_l, xs_l, ns_l)
-    return _lsum(rdotn * rinv * rinv * rinv, f_l[0])
-
-
-def _ltile_lap_fxdu(xt_l, xs_l, ns_l, f_l):
-    rinv = _rinv_t(_pair_r2_l(xt_l, xs_l))
-    g = rinv * rinv * rinv * f_l[0][None, :]
-    h0 = _lsum(g)
-    cols = [xt_l[d][:, None] * h0 - _lsum(g, xs_l[d])
-            for d in range(3)]
-    return jnp.concatenate(cols, axis=1)                   # (T,3)
-
-
-def _ltile_stk_fxu(xt_l, xs_l, ns_l, f_l):
-    rinv = _rinv_t(_pair_r2_l(xt_l, xs_l))
-    C = _pair_rdot_l(xt_l, xs_l, f_l) * (rinv * rinv * rinv)
-    h0 = _lsum(C)
-    cols = [_lsum(rinv, f_l[d]) + xt_l[d][:, None] * h0
-            - _lsum(C, xs_l[d]) for d in range(3)]
-    return jnp.concatenate(cols, axis=1)                   # (T,3)
-
-
-def _ltile_stk_dxu(xt_l, xs_l, ns_l, f_l):
-    rinv = _rinv_t(_pair_r2_l(xt_l, xs_l))
-    rinv2 = rinv * rinv
-    D = (_pair_rdot_l(xt_l, xs_l, f_l)
-         * _pair_rdot_l(xt_l, xs_l, ns_l) * rinv2 * rinv2 * rinv)
-    h0 = _lsum(D)
-    cols = [xt_l[d][:, None] * h0 - _lsum(D, xs_l[d])
-            for d in range(3)]
-    return jnp.concatenate(cols, axis=1)
-
-
-def _ltile_stk_fxt(xt_l, xs_l, ns_l, f_l):
-    rinv = _rinv_t(_pair_r2_l(xt_l, xs_l))
-    rinv2 = rinv * rinv
-    E = _pair_rdot_l(xt_l, xs_l, f_l) * (rinv2 * rinv2 * rinv)
-    h0 = _lsum(E)
-    hx = [_lsum(E, xs_l[d]) for d in range(3)]
-    hxx = [[_lsum(E, xs_l[j] * xs_l[k]) for k in range(3)]
-           for j in range(3)]
-    cols = []
-    for j in range(3):
-        for k in range(3):
-            cols.append(xt_l[j][:, None] * xt_l[k][:, None] * h0
-                        - xt_l[j][:, None] * hx[k]
-                        - hx[j] * xt_l[k][:, None] + hxx[j][k])
-    return jnp.concatenate(cols, axis=1)                   # (T,9)
-
-
-def _ltile_stk_fsxu(xt_l, xs_l, ns_l, f_l):
-    u = _ltile_stk_fxu(xt_l, xs_l, ns_l, f_l[:3])
-    rinv = _rinv_t(_pair_r2_l(xt_l, xs_l))
-    g = rinv * rinv * rinv * f_l[3][None, :]
-    h0 = _lsum(g)
-    cols = [xt_l[d][:, None] * h0 - _lsum(g, xs_l[d])
-            for d in range(3)]
-    return u + jnp.concatenate(cols, axis=1)
-
-
-def _ltile_stk_fxup(xt_l, xs_l, ns_l, f_l):
-    rinv = _rinv_t(_pair_r2_l(xt_l, xs_l))
-    C = _pair_rdot_l(xt_l, xs_l, f_l) * (rinv * rinv * rinv)
-    h0 = _lsum(C)
-    cols = [_lsum(rinv, f_l[d]) + xt_l[d][:, None] * h0
-            - _lsum(C, xs_l[d]) for d in range(3)]
-    cols.append(h0)
-    return jnp.concatenate(cols, axis=1)                   # (T,4)
-
-
-_LTILE_FNS = {
-    "Laplace3D-FxU": _ltile_lap_fxu,
-    "Laplace3D-DxU": _ltile_lap_dxu,
-    "Laplace3D-FxdU": _ltile_lap_fxdu,
-    "Stokes3D-FxU": _ltile_stk_fxu,
-    "Stokes3D-DxU": _ltile_stk_dxu,
-    "Stokes3D-FxT": _ltile_stk_fxt,
-    "Stokes3D-FSxU": _ltile_stk_fsxu,
-    "Stokes3D-FxUP": _ltile_stk_fxup,
-}
+_LTILE_FNS = {name: _lane_tile(name) for name in UKER_APPLY}
 
 
 def _stencil_kernel_body(tile_fn, nside, cap_s, cap_t, k0, k1,
