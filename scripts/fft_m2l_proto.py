@@ -15,8 +15,22 @@ both at p=6 f32 on the real chip and records the outcome.
 
 Usage: python scripts/fft_m2l_proto.py [depth=5]
 
-Measured (v5e, depth 5, 32^3 boxes, Laplace p=6, level-5 sweep only):
-see ROADMAP.md "FFT M2L" entry for the recorded numbers.
+Measured (real chip, 2026-08-20, depth 5 = 32^3 boxes, Laplace p=6,
+level-5 sweep only, device sweep verified vs dense per-offset
+matrices at depth 3, rel err 5.1e-07 f32):
+
+    FFT M2L real-split (check potentials):  426.6 ms
+    blocked GEMM M2L (full compressed):      26.2 ms   -> 16.3x
+
+VERDICT: the FFT formulation LOSES decisively on TPU.  The flop count
+drops ~4x but the 316-offset Hadamard is channel-diagonal — it cannot
+use the MXU, and its acc arrays ((2p)^2*(p+1) = 1008 f32 channels x
+32k boxes x 2 planes = 264 MB) are re-read/written every one of the
+316 scan steps => ~80 GB of HBM traffic vs ~3 GB for the compressed
+GEMM path whose inner loops run bf16 3-pass on the MXU.  The PVFMM
+trade (fewer flops, more bandwidth) is exactly backwards for this
+hardware; the compressed-GEMM M2L stays.  Kept as the recorded
+experiment behind VERDICT r3 #1 / fmm-wrapper.txx:788-936.
 """
 
 import sys
@@ -72,8 +86,9 @@ def main():
     for o, dd in enumerate(d):
         r = h * A - dd * side
         rn = np.linalg.norm(r, axis=1)
-        tapes[o] = np.where(rn > 0, 1.0 / np.maximum(rn, 1e-300),
-                            0.0).reshape(m, m, m)
+        tapes[o] = np.where(
+            rn > 0, Laplace3D_FxU.scale_factor
+            / np.maximum(rn, 1e-300), 0.0).reshape(m, m, m)
     K_hat = np.fft.rfftn(tapes, axes=(1, 2, 3))  # (316, m, m, p+1)
 
     # correctness probe: one offset, random density vs dense K_d
@@ -82,7 +97,8 @@ def main():
     qg = np.zeros((m, m, m))
     qg[gi[:, 0], gi[:, 1], gi[:, 2]] = q
     o = 57
-    ug = np.fft.irfftn(np.fft.rfftn(qg) * K_hat[o], s=(m, m, m))
+    ug = np.fft.irfftn(np.fft.rfftn(qg) * K_hat[o], s=(m, m, m),
+                       axes=(0, 1, 2))
     u_fft = ug[gi[:, 0], gi[:, 1], gi[:, 2]]
     s_in = surf * (RAD_IN * side / 2)
     Kd = full_matrix_np(Laplace3D_FxU, s_in, s_in + d[o] * side).T
@@ -102,13 +118,34 @@ def main():
                          p, depth, 1.0)
     rc, r2c = ops.m2l_cap_r, ops.m2l_cap_r2
 
-    # FFT pipeline: per-box embed -> rFFT -> 316-offset parity-masked
-    # Hadamard accumulation on the box grid -> inverse rFFT -> extract.
-    Kh = jnp.asarray(K_hat.astype(np.complex64))
-    emb = np.zeros((ns, m * m * m), np.float32)
-    emb[np.arange(ns),
-        (gi[:, 0] * m + gi[:, 1]) * m + gi[:, 2]] = 1.0
-    emb_d = jnp.asarray(emb)
+    # FFT pipeline, REAL-split (the axon TPU backend has no complex64
+    # at all — jnp.fft and complex arithmetic both raise UNIMPLEMENTED
+    # on device, measured 2026-08-20).  The forward
+    # embed+rFFT3 is folded into ONE (ns -> nf) real matrix pair
+    # (E[s] = rfftn(delta at gi[s]) is just a lattice phase), and the
+    # inverse irFFT3+extract into one (nf -> ns) pair, so both
+    # transforms are single MXU GEMMs per box; only the 316-offset
+    # Hadamard accumulation stays elementwise (VPU/HBM).
+    nf_ = m * m * (p + 1)
+    kz = np.arange(p + 1)
+    ky = np.arange(m)
+    ph = (gi[:, 0, None, None, None] * ky[:, None, None]
+          + gi[:, 1, None, None, None] * ky[None, :, None]
+          + gi[:, 2, None, None, None] * kz[None, None, :])
+    Ec = np.exp(-2j * np.pi * ph / m).reshape(ns, nf_)
+    Er = jnp.asarray(Ec.real.astype(np.float32))
+    Ei = jnp.asarray(Ec.imag.astype(np.float32))
+    # inverse: u = irfftn(acc)[gi] = acc_r @ Gr + acc_i @ Gi
+    eye_f = np.eye(nf_).reshape(nf_, m, m, p + 1)
+    Gr = np.fft.irfftn(eye_f, s=(m, m, m), axes=(1, 2, 3)).reshape(
+        nf_, m ** 3)[:, (gi[:, 0] * m + gi[:, 1]) * m + gi[:, 2]]
+    Gi = np.fft.irfftn(1j * eye_f, s=(m, m, m),
+                       axes=(1, 2, 3)).reshape(
+        nf_, m ** 3)[:, (gi[:, 0] * m + gi[:, 1]) * m + gi[:, 2]]
+    Gr = jnp.asarray(Gr.astype(np.float32))
+    Gi = jnp.asarray(Gi.astype(np.float32))
+    Kr = jnp.asarray(K_hat.real.reshape(316, nf_).astype(np.float32))
+    Ki = jnp.asarray(K_hat.imag.reshape(316, nf_).astype(np.float32))
     # parity masks on the box grid, one (n,n,n) mask per offset band
     par = np.arange(nside) % 2
     pidx = (4 * par[:, None, None] + 2 * par[None, :, None]
@@ -118,32 +155,62 @@ def main():
 
     @jax.jit
     def m2l_fft(qb):
-        qg = jnp.einsum("xyzn,ng->xyzg", qb, emb_d).reshape(
-            nside, nside, nside, m, m, m)
-        qh = jnp.fft.rfftn(qg, axes=(3, 4, 5))  # (n,n,n,m,m,p+1)
-        qhp = jnp.pad(qh, ((3, 3), (3, 3), (3, 3), (0, 0), (0, 0),
-                           (0, 0)))
+        hi = lax.Precision.HIGHEST
+        qr = jnp.einsum("xyzn,nf->xyzf", qb, Er,
+                        precision=hi)
+        qi = jnp.einsum("xyzn,nf->xyzf", qb, Ei,
+                        precision=hi)
+        pad = ((3, 3), (3, 3), (3, 3), (0, 0))
+        qrp = jnp.pad(qr, pad)
+        qip = jnp.pad(qi, pad)
         masks = jnp.asarray(valid[pidx].astype(np.float32))
 
         def step(acc, blk):
-            dd, kh, mk = blk
-            sl = lax.dynamic_slice(
-                qhp, (3 + dd[0], 3 + dd[1], 3 + dd[2], 0, 0, 0),
-                (nside, nside, nside, m, m, p + 1))
-            return acc + sl * kh[None, None, None] \
-                * mk[..., None, None, None], None
+            dd, kr, ki, mk = blk
+            ar, ai = acc
+            sr = lax.dynamic_slice(
+                qrp, (3 + dd[0], 3 + dd[1], 3 + dd[2], 0),
+                (nside, nside, nside, nf_))
+            si = lax.dynamic_slice(
+                qip, (3 + dd[0], 3 + dd[1], 3 + dd[2], 0),
+                (nside, nside, nside, nf_))
+            mk4 = mk[..., None]
+            ar = ar + mk4 * (sr * kr - si * ki)
+            ai = ai + mk4 * (sr * ki + si * kr)
+            return (ar, ai), None
 
-        acc0 = jnp.zeros((nside, nside, nside, m, m, p + 1),
-                         jnp.complex64)
-        acc, _ = lax.scan(step, acc0,
-                          (jnp.asarray(d), Kh,
-                           jnp.moveaxis(masks, 3, 0)))
-        ug = jnp.fft.irfftn(acc, s=(m, m, m), axes=(3, 4, 5))
-        ug = ug.reshape(nside, nside, nside, m * m * m)
-        return jnp.einsum("xyzg,ng->xyzn", ug, emb_d)
+        z = jnp.zeros((nside, nside, nside, nf_), jnp.float32)
+        (ar, ai), _ = lax.scan(step, (z, z),
+                               (jnp.asarray(d), Kr, Ki,
+                                jnp.moveaxis(masks, 3, 0)))
+        return (jnp.einsum("xyzf,fn->xyzn", ar, Gr, precision=hi)
+                + jnp.einsum("xyzf,fn->xyzn", ai, Gi, precision=hi))
+
+    # device-path correctness at depth<=4: the full masked sweep vs
+    # dense per-offset V-list matrices (host f64)
+    if depth <= 4:
+        u_dev = np.asarray(m2l_fft(q_boxes))
+        qn = np.asarray(q_boxes, np.float64)
+        u_np = np.zeros_like(u_dev, dtype=np.float64)
+        mks = valid[pidx]                        # (n, n, n, 316)
+        for o, dd in enumerate(d):
+            Kd_o = full_matrix_np(                       # targets at 0,
+                Laplace3D_FxU, s_in, s_in + dd * side).T  # src at +dd
+
+            lo = np.maximum(-dd, 0)
+            hi_ = nside - np.maximum(dd, 0)
+            tsl = tuple(slice(lo[k], hi_[k]) for k in range(3))
+            ssl = tuple(slice(lo[k] + dd[k], hi_[k] + dd[k])
+                        for k in range(3))
+            u_np[tsl] += (mks[tsl + (o,)][..., None]
+                          * np.einsum("ts,xyzs->xyzt", Kd_o, qn[ssl]))
+        errd = (np.abs(u_dev - u_np).max()
+                / max(np.abs(u_np).max(), 1e-300))
+        print(f"device sweep vs dense rel err: {errd:.2e}", flush=True)
+        assert errd < 2e-5                       # f32 device path
 
     t_fft = timeit(lambda a: fence(m2l_fft(a)), q_boxes)
-    print(f"FFT M2L (check potentials, level {depth}): "
+    print(f"FFT M2L real-split (check potentials, level {depth}): "
           f"{t_fft*1e3:.1f} ms", flush=True)
 
     # blocked GEMM pipeline on the same data (compressed, incl. dc2e
