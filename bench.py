@@ -16,6 +16,7 @@ before remote execution completes).
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -54,6 +55,105 @@ def bench_fmm(n: int = 10_000_000, iters: int = 3) -> float:
     return n / dt
 
 
+def _make_torus_op(nu=48, nv=20, q=6, R=2.0, r_min=0.5, tol=1e-6):
+    """The shared bench geometry/operator: interior Dirichlet Stokes
+    double-layer on a torus, 34,560 surface nodes = 103,680 unknowns,
+    138,240 far quadrature nodes (>= the 40k cutoff, so the far field
+    runs through the tree FMM — asserted by both legs).  Near setup is
+    disk-cached under SCTL_DATA_PATH (fingerprint is dtype-neutral, so
+    the f32 chip leg and the f64 CPU leg share one cache)."""
+    from sctl_tpu.bie import BoundaryIntegralOp, torus_patches
+    from sctl_tpu.ops import Stokes3D_DxU
+    from sctl_tpu.config import config
+
+    lst = torus_patches(nu=nu, nv=nv, q=q, R=R, r=r_min)
+    op = BoundaryIntegralOp(Stokes3D_DxU)
+    op.set_accuracy(tol)
+    op.add_elem_list(lst)
+    op.near_cache = os.path.join(
+        config.data_path, f"bie_near_torus{nu}x{nv}q{q}_stokes_v1.npz")
+    return lst, op
+
+
+def bench_bie_f64() -> dict:
+    """BASELINE.md's second headline as stated: GMRES BIE wall-clock
+    to a 1e-10 RELATIVE RESIDUAL at 1e5 unknowns (reference anchor:
+    lin-solve.txx:273, doc/tutorial/gmres-rsult.txt; VERDICT r3 #2).
+    Runs on the f64 CPU path (TPU v5e has no native f64; the f32 chip
+    leg is the chip-floor leg at the 1e-6 operator accuracy), far
+    field through the FMM.  The algebraic residual is independent of
+    operator accuracy (BASELINE.md), so the same 1e-6-quadrature
+    operator is solved to 1e-10; interior accuracy is reported
+    separately and reflects the operator, not the solver.
+
+    Called in a SUBPROCESS (``bench.py --bie-f64``) so the CPU
+    platform + x64 switch never touches the chip legs' configuration.
+    """
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    from sctl_tpu.ops import Stokes3D_FxU, direct_eval_blocked
+    from sctl_tpu.linalg import gmres
+
+    t0 = time.perf_counter()
+    lst, op = _make_torus_op()
+    op.setup()
+    assert op._far_fmm is not None
+    t_setup = time.perf_counter() - t0
+
+    X, _, _ = lst.get_node_coord()
+    src = np.array([[6.0, 0.0, 0.0]])
+    qs = np.array([[1.0, -0.5, 0.8]])
+    bc = np.asarray(direct_eval_blocked(
+        Stokes3D_FxU, jnp.asarray(X), jnp.asarray(src),
+        jnp.asarray(qs))).reshape(-1)
+    params = op.apply_params()
+    apply_jit = jax.jit(
+        lambda s, p: op.compute_potential_jnp(s, p).reshape(-1)
+        - 0.5 * s)
+    tol = 1e-10
+    t0 = time.perf_counter()
+    x, it = gmres(lambda s: apply_jit(s, params), jnp.asarray(bc),
+                  tol=tol, max_iter=200)
+    float(jnp.sum(x))
+    dt = time.perf_counter() - t0
+    r = np.asarray(apply_jit(jnp.asarray(x), params)) - bc
+    rel_res = float(np.linalg.norm(r) / np.linalg.norm(bc))
+
+    sigma = np.asarray(x).reshape(-1, 3)
+    th = np.linspace(0, 2 * np.pi, 17)[:-1]
+    R_t = 2.0
+    xt_int = np.stack([(R_t + 0.15 * np.cos(7 * th)) * np.cos(th),
+                       (R_t + 0.15 * np.cos(7 * th)) * np.sin(th),
+                       0.15 * np.sin(7 * th)], 1)
+    from sctl_tpu.ops import Stokes3D_DxU
+    Ff = lst.get_far_field_density(sigma) * op.wf[:, None]
+    u_num = np.asarray(direct_eval_blocked(
+        Stokes3D_DxU, jnp.asarray(xt_int), jnp.asarray(op.Xf),
+        jnp.asarray(Ff), ns=jnp.asarray(op.Xnf)))
+    u_exact = np.asarray(direct_eval_blocked(
+        Stokes3D_FxU, jnp.asarray(xt_int), jnp.asarray(src),
+        jnp.asarray(qs)))
+    acc = float(np.abs(u_num - u_exact).max() / np.abs(u_exact).max())
+    return {
+        "metric": "stokes_bie_gmres_wallclock_torus_1e5unk_f64_1e-10",
+        "value": round(dt, 3),
+        "unit": "s",
+        "vs_baseline": None,
+        "baseline": "reference publishes no absolute wall-clock "
+                    "(BASELINE.md); anchor is the 1e-10 residual "
+                    "itself (lin-solve.txx:273)",
+        "n_unknowns": int(op.dim(0)),
+        "fmm_far_field": True,
+        "iterations": int(it),
+        "rel_residual": float(f"{rel_res:.3e}"),
+        "interior_rel_err_vs_exact": float(f"{acc:.3e}"),
+        "setup_s": round(t_setup, 1),
+        "host_cores": os.cpu_count(),
+        "note": "f64 CPU path (no native f64 on v5e); operator at "
+                "1e-6 quadrature accuracy, residual to 1e-10",
+    }
+
+
 def bench_bie(iters: int = 2) -> dict:
     """Stokes BIE GMRES wall-clock at >= 1e5 unknowns (VERDICT r2 #2).
 
@@ -75,21 +175,13 @@ def bench_bie(iters: int = 2) -> dict:
     The reference publishes no absolute numbers (BASELINE.md), so this
     reports the device-residency win, not a cross-machine comparison.
     """
-    from sctl_tpu.bie import BoundaryIntegralOp, torus_patches
     from sctl_tpu.ops import Stokes3D_DxU, Stokes3D_FxU, \
         direct_eval_blocked
     from sctl_tpu.linalg import gmres, gmres_device
-    from sctl_tpu.config import config
 
-    nu, nv, q = 48, 20, 6
-    R, r_min = 2.0, 0.5
+    R = 2.0
     t_setup0 = time.perf_counter()
-    lst = torus_patches(nu=nu, nv=nv, q=q, R=R, r=r_min)
-    op = BoundaryIntegralOp(Stokes3D_DxU)
-    op.set_accuracy(1e-6)
-    op.add_elem_list(lst)
-    op.near_cache = os.path.join(
-        config.data_path, f"bie_near_torus{nu}x{nv}q{q}_stokes_v1.npz")
+    lst, op = _make_torus_op(R=R)
     op.setup()
     assert op._far_fmm is not None, \
         "FMM far field must be active for this bench"
@@ -155,6 +247,35 @@ def bench_bie(iters: int = 2) -> dict:
     float(jnp.sum(x_h))
     dt_host = time.perf_counter() - t0
 
+    # Krylov recycling across solves (reference lin-solve.txx:213-246;
+    # doc/tutorial/gmres-rsult.txt: 23 -> 8 iterations on solve #2):
+    # solve #1 in recycle mode collects one (U, Qt) pair per restart
+    # cycle; a SECOND RHS (different Stokeslet) then runs plain vs
+    # right-preconditioned by the recycled stack.
+    @jax.jit
+    def solve_rec(b, params):
+        def A(sig):
+            return (op.compute_potential_jnp(sig, params).reshape(-1)
+                    - 0.5 * sig)
+        return gmres_device(A, b, tol=tol, max_iter=30, restarts=4,
+                            recycle=True)
+
+    @jax.jit
+    def solve_pre(b, params, stack):
+        def A(sig):
+            return (op.compute_potential_jnp(sig, params).reshape(-1)
+                    - 0.5 * sig)
+        return gmres_device(A, b, tol=tol, max_iter=120,
+                            precond=stack)
+
+    _, it_r1, _, stack = solve_rec(jnp.asarray(bc), params)
+    src2 = np.array([[0.0, 6.0, 0.5]])
+    bc2 = np.asarray(direct_eval_blocked(
+        Stokes3D_FxU, jnp.asarray(X), jnp.asarray(src2),
+        jnp.asarray(qs))).reshape(-1)
+    _, it2_plain, err2p = solve(jnp.asarray(bc2), params)
+    _, it2_rec, err2r = solve_pre(jnp.asarray(bc2), params, stack)
+
     return {
         "metric": "stokes_bie_gmres_wallclock_torus_1e5unk",
         "value": round(dt_dev, 3),
@@ -168,6 +289,9 @@ def bench_bie(iters: int = 2) -> dict:
         "rel_residual": float(f"{rel_res:.3e}"),
         "interior_rel_err_vs_exact": float(f"{acc:.3e}"),
         "setup_s": round(t_setup, 1),
+        "recycle_iters_second_rhs": [int(it2_plain), int(it2_rec)],
+        "recycle_resid_second_rhs": [float(f"{float(err2p):.2e}"),
+                                     float(f"{float(err2r):.2e}")],
         "note": "f32 chip pipeline; 1e-10 anchor on f64 CPU path",
     }
 
@@ -194,7 +318,31 @@ def _backend_reachable(timeout_s: float = 240.0) -> bool:
         return False
 
 
+def _run_f64_leg_subprocess():
+    """Run the f64 1e-10 leg isolated in a child process (it flips
+    jax to cpu/x64, which must not leak into the chip legs).  The
+    child prints the JSON line itself; on failure/timeout a
+    well-formed error line is printed instead."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--bie-f64"],
+            timeout=float(os.environ.get("SCTL_BENCH_F64_TIMEOUT",
+                                         7200)))
+        if r.returncode != 0:
+            raise RuntimeError(f"exit {r.returncode}")
+    except Exception as e:
+        print(json.dumps({
+            "metric": "stokes_bie_gmres_wallclock_torus_1e5unk_"
+                      "f64_1e-10",
+            "error": repr(e)[:200]}), flush=True)
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--bie-f64":
+        print(json.dumps(bench_bie_f64()), flush=True)
+        return
     if not _backend_reachable():
         msg = ("jax backend unreachable (device probe hung/failed; "
                "down TPU tunnel?) — benches skipped")
@@ -229,6 +377,8 @@ def main():
         print(json.dumps({        # a well-formed JSON line
             "metric": "laplace_kifmm_points_per_sec_per_chip_1e7",
             "error": repr(e)[:200]}), flush=True)
+    if os.environ.get("SCTL_BENCH_F64", "1") != "0":
+        _run_f64_leg_subprocess()
 
 
 if __name__ == "__main__":

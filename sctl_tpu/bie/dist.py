@@ -22,11 +22,13 @@ One operator application (a single shard_map program):
   2. far field:
      - FMM regime: the far density is re-distributed from element
        blocks to the AdaptiveFMMDist Morton-leaf blocks with ONE
-       all-to-all over static slot tables (the SortScatterIndex /
-       ScatterForward role, comm.txx:730-1006), evaluated by the
-       memory-sharded adaptive FMM (adaptive_dist.py), and the
-       leaf-sharded potentials are routed back to the target owners
-       with a second all-to-all.
+       ragged all-to-all over static sparse cnt/dsp route tables
+       (ragged_route_tables + comm.verbs.alltoallv — the
+       SortScatterIndex / ScatterForward / Ialltoallv_sparse role,
+       comm.txx:363,730-1006), evaluated by the memory-sharded
+       adaptive FMM (adaptive_dist.py), and the leaf-sharded
+       potentials are routed back to the target owners with a second
+       ragged all-to-all.
      - direct regime (below the FMM cutoff): each device sums its OWN
        far nodes' contribution to all targets and the (small, by
        definition of the cutoff) target potentials are psum'd — the
@@ -47,38 +49,9 @@ from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..comm.comm import Comm
+from ..comm.verbs import alltoallv, ragged_route_tables
 from ..ops.direct import direct_eval_blocked
 
-
-def _pair_tables(src, payload, dst, places, ndev, fill=-1):
-    """Static all-to-all routing tables, vectorized (the former
-    per-row Python loops were O(N) host time at setup, VERDICT r3
-    weak #4): src/payload/dst and each placement array are (M,)
-    parallel arrays — row m sends local payload index payload[m] from
-    device src[m] to device dst[m], landing at places[k][m].  Returns
-    (send (ndev, ndev, R), [recv (ndev, ndev, R)] * len(places), R),
-    R = max rows per (src, dst) cell; rows keep their original
-    relative order within each cell."""
-    M = len(src)
-    if M == 0:
-        send = np.full((ndev, ndev, 1), fill, np.int64)
-        return send, [send.copy() for _ in places], 1
-    key = np.asarray(src) * np.int64(ndev) + np.asarray(dst)
-    order = np.argsort(key, kind="stable")
-    ks = key[order]
-    new = np.concatenate([[True], ks[1:] != ks[:-1]])
-    start = np.maximum.accumulate(np.where(new, np.arange(M), 0))
-    rank = np.arange(M) - start
-    R = int(rank.max()) + 1
-    a_s, d_s = np.asarray(src)[order], np.asarray(dst)[order]
-    send = np.full((ndev, ndev, R), fill, np.int64)
-    send[a_s, d_s, rank] = np.asarray(payload)[order]
-    recv = []
-    for p in places:
-        r = np.full((ndev, ndev, R), fill, np.int64)
-        r[d_s, a_s, rank] = np.asarray(p)[order]
-        recv.append(r)
-    return send, recv, R
 
 
 def _rank_within(groups):
@@ -225,15 +198,16 @@ class ShardedBIEApply:
             flat = (a_arr * Pc + piloc)[:, None] * R + J
             sidx_l.reshape(-1)[flat[mask]] = (s0[:, None] + J)[mask]
         d_arr = owner_node[pt]
-        send, (recv_t,), Rn = _pair_tables(
+        send, scnt, (recv_t,), Csn, Crn, _ = ragged_route_tables(
             a_arr, piloc, d_arr, [pt - n_lo[d_arr]], ndev)
         self._t.update({
             "near_mats": put(mats_l, dt),
             "near_sidx": put(sidx_l, jnp.int32),
             "near_send": put(send, jnp.int32),
+            "near_scnt": put(scnt, jnp.int32),
             "near_recv_t": put(recv_t, jnp.int32),
         })
-        self.Pc, self.Rn = Pc, Rn
+        self.Pc, self.Crn = Pc, Crn
 
     def _build_fmm_routing(self, owner_node, f_lo, put):
         """Static all-to-all slot tables: element-block far densities
@@ -260,7 +234,7 @@ class ShardedBIEApply:
             fown[fd[eb[d]]:fd[eb[d + 1]]] = d
 
         fd_lo = fd[eb[:-1]]
-        send_f, (rleaf, rslot), Rf = _pair_tables(
+        send_f, scnt_f, (rleaf, rslot), Csf, Crf, _ = ragged_route_tables(
             fown, np.arange(nf) - fd_lo[fown], owner_leaf,
             [leaf_of - owner_leaf * Cb, slot_of], ndev)
 
@@ -275,18 +249,20 @@ class ShardedBIEApply:
         tslot = inv_t - t_dsp[tleaf]
         towner = np.minimum(tleaf // Cb, ndev - 1)
         d_t = owner_node[np.arange(nt)]
-        send_u, (rtrow,), Ru = _pair_tables(
+        send_u, scnt_u, (rtrow,), Csu, Cru, _ = ragged_route_tables(
             towner, (tleaf - towner * Cb) * af.cap_t + tslot, d_t,
             [np.arange(nt) - self.n_lo[d_t]], ndev)
 
         self._t.update({
             "fm_send_f": put(send_f, jnp.int32),
+            "fm_scnt_f": put(scnt_f, jnp.int32),
             "fm_rleaf": put(rleaf, jnp.int32),
             "fm_rslot": put(rslot, jnp.int32),
             "fm_send_u": put(send_u, jnp.int32),
+            "fm_scnt_u": put(scnt_u, jnp.int32),
             "fm_rtrow": put(rtrow, jnp.int32),
         })
-        self.Rf, self.Ru = Rf, Ru
+        self.Crf, self.Cru = Crf, Cru
 
     # ---- host-side vector layout helpers -------------------------------
     def pack(self, sigma) -> jax.Array:
@@ -343,12 +319,15 @@ class ShardedBIEApply:
             if fm is not None:
                 rep, loc = fmm_args
                 af = fm._afmm
-                # element blocks -> leaf-block pads (one all-to-all)
-                sidx = own(t["fm_send_f"])         # (ndev, Rf)
-                sbuf = Ff[jnp.clip(sidx.reshape(-1), 0, Cf - 1)]
-                rbuf = comm.alltoall(sbuf)         # (ndev*Rf, k0)
-                rl = own(t["fm_rleaf"]).reshape(-1)
-                rs = own(t["fm_rslot"]).reshape(-1)
+                # element blocks -> leaf-block pads (one RAGGED
+                # all-to-all; send rows grouped by destination,
+                # receive rows packed by source — _ragged_tables)
+                sidx = own(t["fm_send_f"])         # (Csf,)
+                sbuf = Ff[jnp.clip(sidx, 0, Cf - 1)]
+                rbuf, _ = alltoallv(
+                    comm, sbuf, own(t["fm_scnt_f"]), self.Crf)
+                rl = own(t["fm_rleaf"])            # (Crf,)
+                rs = own(t["fm_rslot"])
                 fp_loc = jnp.zeros((fm.Cb, af.cap_s, k0), dt)
                 okr = rl >= 0
                 fp_loc = fp_loc.at[
@@ -356,12 +335,12 @@ class ShardedBIEApply:
                     jnp.where(okr, rs, 0)].set(rbuf, mode="drop")
                 u_leaf = fm._eval_dist(fp_loc, rep, loc)
                 # leaf-block potentials -> node-block owners
-                su = own(t["fm_send_u"])           # (ndev, Ru)
+                su = own(t["fm_send_u"])           # (Csu,)
                 u_flat = u_leaf.reshape(-1, k1)
-                sbu = u_flat[jnp.clip(su.reshape(-1), 0,
-                                      u_flat.shape[0] - 1)]
-                rbu = comm.alltoall(sbu)           # (ndev*Ru, k1)
-                rt = own(t["fm_rtrow"]).reshape(-1)
+                sbu = u_flat[jnp.clip(su, 0, u_flat.shape[0] - 1)]
+                rbu, _ = alltoallv(
+                    comm, sbu, own(t["fm_scnt_u"]), self.Cru)
+                rt = own(t["fm_rtrow"])            # (Cru,)
                 U = jnp.zeros((Cs, k1), dt)
                 okt = rt >= 0
                 U = U.at[jnp.where(okt, rt, Cs)].add(
@@ -386,13 +365,14 @@ class ShardedBIEApply:
             sigf = sig.reshape(-1)
             sig_p = sigf[own(t["near_sidx"])]      # (Pc, R)
             corr = jnp.einsum("pr,prk->pk", sig_p, own(t["near_mats"]))
-            sn = own(t["near_send"])               # (ndev, Rn)
-            sb = corr[jnp.clip(sn.reshape(-1), 0, corr.shape[0] - 1)]
-            sb = sb * (sn.reshape(-1) >= 0)[:, None].astype(dt)
-            rb = comm.alltoall(sb)                 # (ndev*Rn, k1)
-            rt2 = own(t["near_recv_t"]).reshape(-1)
+            sn = own(t["near_send"])               # (Csn,)
+            sb = corr[jnp.clip(sn, 0, corr.shape[0] - 1)]
+            rb, _ = alltoallv(
+                comm, sb, own(t["near_scnt"]), self.Crn)
+            rt2 = own(t["near_recv_t"])            # (Crn,)
             ok2 = rt2 >= 0
-            U = U.at[jnp.where(ok2, rt2, Cs)].add(rb, mode="drop")
+            U = U.at[jnp.where(ok2, rt2, Cs)].add(
+                rb * ok2[:, None].astype(dt), mode="drop")
             return U
 
         return fn

@@ -34,6 +34,70 @@ from jax import lax
 from .comm import Comm, exclusive_cumsum
 
 
+def ragged_route_tables(src, payload, dst, places, ndev, fill=-1):
+    """Host-side builder of sparse cnt/dsp-ragged STATIC routing
+    tables for `alltoallv` (reference: Ialltoallv_sparse, comm.txx:363
+    — the sparse counterpart of a dense (ndev, ndev, R) slot table).
+
+    src/payload/dst and each placement array are (M,) parallel numpy
+    arrays: row m sends local payload index payload[m] from device
+    src[m] to device dst[m], landing at places[k][m] on the receiver.
+
+    Returns (send_idx, send_cnt, recv_places, Cs, Cr, recv_pos):
+
+    - send_idx (ndev, Cs): payload rows packed and GROUPED BY
+      DESTINATION rank (the alltoallv send convention), `fill` beyond
+      each device's send total;
+    - send_cnt (ndev, ndev): rows device d sends to rank r — row d is
+      the `send_cnt` argument device d passes to `alltoallv`;
+    - recv_places: for each placement array, an (ndev, Cr) table
+      mapping alltoallv's packed-by-source receive positions to the
+      placement values, `fill` beyond each device's receive total;
+    - Cs / Cr: send / receive buffer capacities = max per-device
+      TRAFFIC — not ndev^2 * max-cell-rows like a dense table;
+    - recv_pos (M,): each input row's packed receive position on its
+      destination device (for building receiver-side side tables).
+
+    Rows keep their original relative order within each (src, dst)
+    pair on both sides."""
+    import numpy as np
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    M = len(src)
+    if M == 0:
+        one = np.full((ndev, 1), fill, np.int64)
+        return (one, np.zeros((ndev, ndev), np.int64),
+                [one.copy() for _ in places], 1, 1,
+                np.zeros(0, np.int64))
+    cnt = np.zeros((ndev, ndev), np.int64)
+    np.add.at(cnt, (src, dst), 1)
+    tot_s = cnt.sum(axis=1)
+    tot_r = cnt.sum(axis=0)
+    Cs = max(1, int(tot_s.max()))
+    Cr = max(1, int(tot_r.max()))
+
+    # send side: per device, rows sorted by destination (stable)
+    o_s = np.argsort(src * np.int64(ndev) + dst, kind="stable")
+    dsp_s = np.concatenate([[0], np.cumsum(tot_s)])
+    pos_s = np.arange(M) - dsp_s[src[o_s]]     # rank within device
+    send_idx = np.full((ndev, Cs), fill, np.int64)
+    send_idx[src[o_s], pos_s] = np.asarray(payload)[o_s]
+
+    # recv side: per device, rows packed by SOURCE rank (alltoallv's
+    # receive order), stable within
+    o_r = np.argsort(dst * np.int64(ndev) + src, kind="stable")
+    dsp_r = np.concatenate([[0], np.cumsum(tot_r)])
+    pos_r = np.arange(M) - dsp_r[dst[o_r]]
+    recv_pos = np.empty(M, np.int64)
+    recv_pos[o_r] = pos_r
+    recv = []
+    for p in places:
+        r = np.full((ndev, Cr), fill, np.int64)
+        r[dst[o_r], pos_r] = np.asarray(p)[o_r]
+        recv.append(r)
+    return send_idx, cnt, recv, Cs, Cr, recv_pos
+
+
 def _leading_capacity(data) -> int:
     leaves = jax.tree_util.tree_leaves(data)
     return leaves[0].shape[0]

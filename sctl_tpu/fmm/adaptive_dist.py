@@ -51,6 +51,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .. import profile
 from ..comm.comm import Comm
+from ..comm.verbs import alltoallv, ragged_route_tables
 from ..ops.kernels import KernelSpec
 from .adaptive import AdaptiveFMM, _pad_rows
 
@@ -161,7 +162,10 @@ class AdaptiveFMMDist:
         # ---- U-list ghosts: per (owner o -> requester d) leaf sets,
         # fully vectorized (argsort/searchsorted — the former per-
         # (owner, requester, leaf) Python loops were O(N) host time,
-        # VERDICT r3 weak #4) ----
+        # VERDICT r3 weak #4), routed through the sparse cnt/dsp
+        # alltoallv convention (ragged_route_tables; the dense
+        # (ndev, ndev, K) worst-case tables were quadratic in mesh
+        # size, VERDICT r3 #9) ----
         gi, ji = np.nonzero(ulist >= 0)
         s_all = ulist[gi, ji]
         d_all = owner[gi]                            # requester device
@@ -171,36 +175,20 @@ class AdaptiveFMMDist:
         pd = pkey // n_leaf
         ps = pkey % n_leaf
         po = owner[ps]
-        # rank within each (owner o, requester d) group: pairs are
-        # sorted by (d, s) and owner blocks are s-contiguous, so a
-        # stable (d, o) grouping preserves ascending s within groups
-        gkey = pd * ndev + po
-        order = np.argsort(gkey, kind="stable")
-        gs = gkey[order]
-        if len(gs):
-            new = np.concatenate([[True], gs[1:] != gs[:-1]])
-            start = np.maximum.accumulate(
-                np.where(new, np.arange(len(gs)), 0))
-            rank = np.arange(len(gs)) - start
-            K = int(rank.max()) + 1
-        else:
-            rank = np.zeros(0, np.int64)
-            K = 1
-        send_idx = np.full((ndev, ndev, K), -1, np.int64)
-        send_idx[po[order], pd[order], rank] = (ps[order]
-                                                - po[order] * Cb)
-        xs_ghost = np.zeros((ndev, ndev * K, cap_s, 3))
-        ns_ghost = np.zeros((ndev, ndev * K, cap_s, 3))
-        ext_pos = po[order] * K + rank            # ghost slot per pair
-        xs_ghost[pd[order], ext_pos] = xs_pad[ps[order]]
-        ns_ghost[pd[order], ext_pos] = ns_pad[ps[order]]
-        self.K = K
+        send_idx, scnt_g, _, Csg, Crg, rpos = ragged_route_tables(
+            po, ps - po * Cb, pd, [], ndev)
+        xs_ghost = np.zeros((ndev, Crg, cap_s, 3))
+        ns_ghost = np.zeros((ndev, Crg, cap_s, 3))
+        if len(pkey):
+            xs_ghost[pd, rpos] = xs_pad[ps]
+            ns_ghost[pd, rpos] = ns_pad[ps]
+        self.Crg = Crg
 
         # extended U table: entries are indices into [own block (Cb);
-        # ghosts (ndev*K)] of the owning device.  Ghost entries
-        # resolve by searchsorted into the sorted (d, s) pair keys.
-        pos_sorted = np.empty(len(pkey), np.int64)
-        pos_sorted[order] = Cb + ext_pos
+        # ghosts (Crg)] of the owning device.  Ghost entries resolve
+        # by searchsorted into the sorted (d, s) pair keys; rpos is
+        # aligned with pkey order.
+        pos_sorted = Cb + rpos
         u_ext = np.full((NL, ulist.shape[1]), -1, np.int64)
         own_val = s_all - d_all * Cb
         lk_all = d_all * np.int64(n_leaf) + s_all
@@ -266,6 +254,7 @@ class AdaptiveFMMDist:
             "xt_own": put(padNL(xt_pad), dt),
             "ctr_own": put(padNL(ctr), dt),
             "send_idx": put(send_idx, jnp.int32),
+            "scnt_g": put(scnt_g, jnp.int32),
             "xs_ghost": put(xs_ghost, dt),
             "ns_ghost": put(ns_ghost, dt),
             "u_ext": put(u_ext, jnp.int32),
@@ -330,7 +319,7 @@ class AdaptiveFMMDist:
         dim = 3
         dt = self.dtype
         hi = lax.Precision.HIGHEST
-        Cb, K, ndev = self.Cb, self.K, self.ndev
+        Cb, ndev = self.Cb, self.ndev
         k1t = af._ops.k1t
         k0_l2t = af.ker_l2t.kdim0
 
@@ -342,11 +331,11 @@ class AdaptiveFMMDist:
         xt_own = loc["xt_own"]
         ctr_own = loc["ctr_own"]
 
-        # ---- per-apply density ghost exchange (ONE all-to-all; the
-        # tree ghost-data Broadcast, tree.txx:668) ----
-        sidx = own(loc["send_idx"])                # (ndev, K)
-        sbuf = fp_loc[jnp.clip(sidx.reshape(-1), 0, Cb - 1)]
-        rbuf = comm.alltoall(sbuf)                 # (ndev*K, cap_s, k0)
+        # ---- per-apply density ghost exchange (ONE ragged
+        # all-to-all; the tree ghost-data Broadcast, tree.txx:668) ----
+        sidx = own(loc["send_idx"])                # (Csg,)
+        sbuf = fp_loc[jnp.clip(sidx, 0, Cb - 1)]
+        rbuf, _ = alltoallv(comm, sbuf, own(loc["scnt_g"]), self.Crg)
         ext_f = jnp.concatenate([fp_loc, rbuf], axis=0)
         ext_xs = jnp.concatenate([xs_own, own(loc["xs_ghost"])], 0)
         ext_ns = jnp.concatenate([ns_own, own(loc["ns_ghost"])], 0)
