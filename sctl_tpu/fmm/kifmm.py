@@ -87,11 +87,14 @@ def _pinv_ns(a: np.ndarray, rcond: float) -> np.ndarray:
     measured 270x WORSE than 1e-10 in f64) is driven below 1e-16 —
     the reference's precompute-in-QuadReal discipline
     (ode-solver.txx:77-112, math_utils.hpp:236-300)."""
+    from ..quadmath import ld_gemm
     x = _pinv(a, rcond).astype(np.longdouble)
     al = a.astype(np.longdouble)
     eye2 = 2.0 * np.eye(a.shape[0], dtype=np.longdouble)
     for _ in range(3):
-        x = x @ (eye2 - al @ x)
+        # sliced error-free GEMMs (quadmath.ld_gemm) — BLAS speed,
+        # beyond-longdouble accuracy vs numpy's scalar ld matmul
+        x = ld_gemm(x, eye2 - ld_gemm(al, x))
     return x
 
 
@@ -307,12 +310,16 @@ class KIFMMOperators:
             # longdouble: A_d = (U^T dc2e) K_d V with one (r, ns)
             # projection W precomputed; ~0.75 ns^3 longdouble MACs per
             # offset, one-time and disk-cached
-            W = Ur.T.astype(np.longdouble) @ self._dc2e_work
+            from ..quadmath import ld_gemm
+            W = ld_gemm(Ur.T, self._dc2e_work)
             Vl = Vr.astype(np.longdouble)
             for i, d in enumerate(self.offsets):
                 k = _kmat(self._ker_trans_ref, self._s_in_ref,
                           self._s_in_ref + d * 1.0).astype(np.longdouble)
-                self.ca_unit[i] = np.float64((W @ k) @ Vl)
+                # sliced error-free GEMMs at BLAS speed instead of
+                # numpy's scalar longdouble matmul (quadmath.ld_gemm)
+                self.ca_unit[i] = np.float64(ld_gemm(ld_gemm(W, k),
+                                                     Vl))
 
     def _derive_levels(self, ker_trans, depth, scale, surf):
         """Per-level operator lists (the layout every consumer reads)

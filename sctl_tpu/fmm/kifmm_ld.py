@@ -57,8 +57,11 @@ def _pinv_ld(A: np.ndarray, rcond: float) -> np.ndarray:
     r = max(1, int((s > rcond * s[0]).sum()))
     X = ((Vt[:r].T / s[:r]) @ U[:, :r].T).astype(LD)
     I = np.eye(A.shape[0], dtype=LD)
+    from ..quadmath import ld_gemm
     for _ in range(4):
-        X = X @ (2 * I - np.asarray(A, LD) @ X)
+        # sliced error-free GEMMs (quadmath.ld_gemm) — BLAS speed with
+        # accuracy beyond longdouble's, vs numpy's scalar ld matmul
+        X = ld_gemm(X, 2 * I - ld_gemm(np.asarray(A, LD), X))
     return X
 
 

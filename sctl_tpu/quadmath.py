@@ -329,12 +329,23 @@ def dd_matmul(A: DD, B: DD) -> DD:
 
 def _split_slices(A: np.ndarray, axis: int, nslice: int = 3):
     """Exact slice decomposition of an f64 matrix for error-free GEMM
-    (the Ozaki splitting, PAPERS.md): A = sum(slices), where every
-    entry of slice s is an integer multiple of a per-row (axis=1) or
-    per-column (axis=0) power of two with <= 21 significant bits, so
-    pairwise slice products accumulate EXACTLY in a k<=2048 f64 GEMM
-    (21 + 21 + 11 <= 53).  The last slice is the raw remainder — its
-    products are only ~2^-84 of the result, below the DD target."""
+    (Ozaki-scheme splitting — Ozaki/Ogita/Oishi/Rump, "Error-free
+    transformations of matrix multiplication", Numer. Algorithms 2012):
+    A = sum(slices), where every entry of slice s is an integer
+    multiple of a per-row (axis=1) or per-column (axis=0) power of two
+    with <= 21 significant bits.  Slice-pair products then accumulate
+    EXACTLY in a k<=2048 f64 GEMM: each addend |a*b| <= 2^21 * 2^21
+    grid units, so a k-term sum reaches at most 2^42 * 2^11 = 2^53
+    grid units inclusive — still exactly representable, with zero
+    margin at k=2048 (per-factor bound |m| <= 2^21, not 2^21-1).
+    The last slice is the raw remainder: its products against the
+    leading slices are ~2^-42 of the result scale and their f64
+    rounding ~2^-94 — below the DD target.
+
+    Input range: the shift constant sigma = 2^(e+32) overflows to inf
+    (NaN slices) when a row/column max exceeds ~2^991, and subnormal
+    scales degrade the split; callers must keep row/column maxima of
+    |A| within ~[2^-1000, 2^990] (asserted in ld_gemm)."""
     A = np.asarray(A, np.float64)
     mx = np.max(np.abs(A), axis=axis, keepdims=True)
     mx = np.where(mx > 0, mx, 1.0)
@@ -346,7 +357,10 @@ def _split_slices(A: np.ndarray, axis: int, nslice: int = 3):
         sigma = e2 * np.float64(2.0**32)
         hi = (rem + sigma) - sigma
         out.append(hi)
-        rem = rem - hi                             # exact (Sterbenz)
+        # exact: the extraction property of Ozaki/Rump's ExtractScalar
+        # (hi holds only bits >= ulp(sigma), so rem = A - hi is
+        # computed without rounding)
+        rem = rem - hi
         e2 = e2 * np.float64(2.0**-21)
     out.append(rem)
     return out
@@ -361,9 +375,21 @@ def ld_gemm(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     summed elementwise in DD.  Replaces numpy's BLAS-less longdouble
     matmul (~100x slower) in the hiprec/QuadReal precompute paths
     (math_utils.hpp:236-300 precompute-in-QuadReal discipline).
-    Accuracy: matches naive longdouble matmul to ~1e-27 relative."""
+    Accuracy: remainder-slice products are ~2^-42 of the result scale
+    and their f64 rounding ~2^-94 normwise — matches naive longdouble
+    matmul to ~1e-27 NORMWISE relative error (elementwise relative
+    error under heavy cancellation can be far worse, as for any fixed-
+    precision accumulation)."""
     k = A.shape[1]
-    assert k == B.shape[0] and k <= 2048           # 21+21+11 <= 53
+    # k <= 2048: slice products reach at most 2^42 * 2^11 = 2^53 grid
+    # units inclusive (see _split_slices) — representable, zero margin
+    assert k == B.shape[0] and k <= 2048
+    for M, ax in ((A, 1), (B, 0)):
+        mx = np.max(np.abs(np.asarray(M, np.float64)), axis=ax)
+        nz = mx[mx > 0]
+        assert nz.size == 0 or (2.0**-1000 <= nz.min()
+                                and nz.max() <= 2.0**990), \
+            "ld_gemm row/col scale outside the exact-split range"
     Ah = np.asarray(A, np.float64)
     Bh = np.asarray(B, np.float64)
     if np.asarray(A).dtype == np.longdouble:

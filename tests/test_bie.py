@@ -371,20 +371,49 @@ def test_bie_build_near_list_dist(mesh8):
                             cap_route_t=ndev * Ct,
                             cap_route_f=27 * ndev * Cf,
                             cap_join=128 * ndev * Cf, cap_out=cap_out)
-    pt, pe, n_u = jax.jit(comm.run(
+    pt, pe, n_u, need = jax.jit(comm.run(
         lambda *a: fn(a[0], a[1][0], a[2], a[3], a[4], a[5], a[6][0]),
         in_specs=(P("x", None), P("x"), P("x"), P("x", None), P("x"),
                   P("x"), P("x")),
-        out_specs=(P("x"), P("x"), P("x"))))(
+        out_specs=(P("x"), P("x"), P("x"), P("x", None))))(
         Xt, tcnt, tg, Xf, df, fe, fcnt)
     pt = np.asarray(pt).reshape(ndev, -1)
     pe = np.asarray(pe).reshape(ndev, -1)
     n_u = np.asarray(n_u).reshape(-1)
+    # the reported required capacities must all fit (no overflow here)
+    need = np.asarray(need).reshape(ndev, 4).max(0)
+    assert int(need[3]) <= cap_out
     got = set()
     for d in range(ndev):
         for j in range(int(n_u[d])):
             got.add((int(pt[d, j]), int(pe[d, j])))
     assert got == ref, (len(got), len(ref))
+
+
+def test_bie_near_list_dist_grow_on_overflow(mesh8):
+    """Undersized initial capacities GROW and re-trace instead of
+    aborting (VERDICT r4 #9; the reference's Vector growth discipline,
+    vector.hpp:87): starting the distributed near search at 1/64 of
+    the derived capacities still yields the host search's exact pair
+    set, with at least one growth round exercised."""
+    from sctl_tpu.comm import Comm
+
+    lst = sphere_patches(n_per_face=2, q=6)
+    op_h = BoundaryIntegralOp(Laplace3D_DxU)
+    op_h.set_accuracy(1e-6)
+    op_h.add_elem_list(lst)
+    op_h.setup()
+
+    comm = Comm.world(mesh8)
+    op_d = BoundaryIntegralOp(Laplace3D_DxU)
+    op_d.set_accuracy(1e-6)
+    op_d.add_elem_list(sphere_patches(n_per_face=2, q=6))
+    # run only the basic/far phases via setup plumbing, then the near
+    # search directly with undersized caps
+    op_d.setup(comm=comm)           # warm full setup (host matrices)
+    op_d._build_near_list_dist(comm, _cap_scale=1.0 / 64)
+    assert op_d._near_caps_grown >= 1
+    assert set(op_d.near_pairs) == set(op_h.near_pairs)
 
 
 def test_bie_setup_dist_is_production_path(mesh8):

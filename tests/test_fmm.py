@@ -304,6 +304,12 @@ def test_adaptive_fmm_dist_memory_sharded(mesh8):
     fs = AdaptiveFMM(Laplace3D_FxU, p=6, max_pts=64).setup(xs, xs)
     u_ref = fs.eval(f)
     assert np.abs(u - u_ref).max() / np.abs(u_ref).max() < 1e-8
+    # the adopted DistPtTree skeleton equals the host refinement's
+    # (formerly an assert inside setup — VERDICT r4 #4 moved the
+    # duplicate-build check here, where it belongs)
+    assert np.array_equal(fm._afmm.tree.leaf_keys, fs.tree.leaf_keys)
+    assert np.array_equal(fm._afmm.tree.leaf_levels,
+                          fs.tree.leaf_levels)
 
 
 def test_adaptive_fmm_pallas_ulist():

@@ -75,3 +75,86 @@ def test_mathutils():
     assert abs(float(mu.const_pi(jnp.float64)) - np.pi) < 1e-15
     v = mu.atoreal("0.1", qm.DD)
     assert abs(float((v * qm.DD(10.0) - qm.DD(1.0)).to_float64())) < 1e-30
+
+
+def _exact_gemm_fractions(A_fr, B_fr):
+    """Exact rational matmul of Fraction matrices (lists of lists)."""
+    m, k = len(A_fr), len(A_fr[0])
+    n = len(B_fr[0])
+    return [[sum(A_fr[i][l] * B_fr[l][j] for l in range(k))
+             for j in range(n)] for i in range(m)]
+
+
+def test_ld_gemm_vs_exact_f64():
+    """ld_gemm on f64 inputs with WIDE per-row dynamic range vs an
+    exact rational reference (ADVICE r4: ld_gemm was dead code with
+    no coverage; accuracy is normwise ~1e-27)."""
+    from fractions import Fraction
+    rng = np.random.default_rng(3)
+    m, k, n = 12, 20, 9
+    A = rng.normal(size=(m, k)) * np.exp2(
+        rng.integers(-200, 200, size=(m, 1)).astype(np.float64))
+    B = rng.normal(size=(k, n)) * np.exp2(
+        rng.integers(-200, 200, size=(1, n)).astype(np.float64))
+    C = qm.ld_gemm(A, B)
+    A_fr = [[Fraction(float(A[i, l])) for l in range(k)]
+            for i in range(m)]
+    B_fr = [[Fraction(float(B[l, j])) for j in range(n)]
+            for l in range(k)]
+    C_ex = _exact_gemm_fractions(A_fr, B_fr)
+    # accumulation is DD-exact to ~2^-94 normwise; the returned
+    # LONGDOUBLE rounds each entry at 2^-64 of its own magnitude
+    for i in range(m):
+        row_scale = max(abs(float(C_ex[i][j])) for j in range(n))
+        for j in range(n):
+            err = abs(float(Fraction(float(np.float64(C[i, j])))
+                            + Fraction(float(np.float64(
+                                C[i, j] - np.float64(C[i, j]))))
+                            - C_ex[i][j]))
+            tol = 2.5e-19 * abs(float(C_ex[i][j])) + 1e-25 * row_scale
+            assert err <= tol, (i, j, err / row_scale)
+
+
+def test_ld_gemm_longdouble_inputs():
+    """ld_gemm with LONGDOUBLE inputs (hi+lo split path) vs exact
+    rationals: the cross terms must carry the low parts."""
+    from fractions import Fraction
+    rng = np.random.default_rng(4)
+    m, k, n = 8, 16, 7
+    Ah = rng.normal(size=(m, k))
+    Al = rng.normal(size=(m, k)) * 1e-18
+    Bh = rng.normal(size=(k, n))
+    Bl = rng.normal(size=(k, n)) * 1e-18
+    A = Ah.astype(np.longdouble) + Al.astype(np.longdouble)
+    B = Bh.astype(np.longdouble) + Bl.astype(np.longdouble)
+    C = qm.ld_gemm(A, B)
+
+    def ld_fr(x):          # exact Fraction of one longdouble value
+        hi = np.float64(x)
+        lo = np.float64(x - np.longdouble(hi))
+        return Fraction(float(hi)) + Fraction(float(lo))
+
+    A_fr = [[ld_fr(A[i, l]) for l in range(k)] for i in range(m)]
+    B_fr = [[ld_fr(B[l, j]) for j in range(n)] for l in range(k)]
+    C_ex = _exact_gemm_fractions(A_fr, B_fr)
+    scale = max(abs(float(C_ex[i][j]))
+                for i in range(m) for j in range(n))
+    for i in range(m):
+        for j in range(n):
+            hi = np.float64(C[i, j])
+            lo = np.float64(C[i, j] - np.longdouble(hi))
+            err = abs(float(Fraction(float(hi)) + Fraction(float(lo))
+                            - C_ex[i][j]))
+            # accumulation error ~1e-27 normwise; the longdouble
+            # OUTPUT rounds at 2^-64 of each entry's own magnitude
+            tol = 1.2e-19 * abs(float(C_ex[i][j])) + 1e-24 * scale
+            assert err <= tol, (i, j, err / scale)
+
+
+def test_ld_gemm_range_guard():
+    """Row scales outside the exact-split range are rejected."""
+    import pytest
+    A = np.full((2, 4), 2.0**995)
+    B = np.eye(4)
+    with pytest.raises(AssertionError):
+        qm.ld_gemm(A, B)
