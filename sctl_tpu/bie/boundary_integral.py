@@ -146,6 +146,14 @@ class BoundaryIntegralOp:
         # (near pairs + corrected operators), keyed by a geometry/
         # config fingerprint
         self.near_cache: Optional[str] = None
+        # near-matrix assembly engine: None = auto (device-resident
+        # engine on a TPU backend when the element list supports it,
+        # host numpy otherwise); True/False forces.  The device
+        # engine (bie/near_device.py) is the <100 s cold-setup path:
+        # rule descriptors built on host, all FLOPs on device,
+        # results never leave the device.
+        self.use_device_near: Optional[bool] = None
+        self._near_mats_dev = None
 
     def set_accuracy(self, tol: float):
         self.tol = tol
@@ -256,7 +264,11 @@ class BoundaryIntegralOp:
             else:
                 self._build_near_list()
             self._build_near_matrices()
-            if self.near_cache is not None:
+            if self.near_cache is not None \
+                    and self._near_mats is not None:
+                # device-mode results stay on device: at ~5 MB/s
+                # device->host (axon tunnel) downloading a multi-
+                # hundred-MB blob would cost more than re-assembly
                 self._save_near_cache(self.near_cache)
         self._setup_device_apply()
         self._setup_done = True
@@ -386,83 +398,123 @@ class BoundaryIntegralOp:
             self.near_pairs = [(int(a), int(b)) for a, b in z["pairs"]]
             self._near_mats = [blob[dsp[i]:dsp[i + 1]]
                                for i in range(len(rows))]
+            self._near_mats_dev = None
             return True
         except Exception:
             return False
 
     def _build_near_list(self):
-        """Near pairs (target, element) via a Morton-box grid search
+        """Near pairs (target, element) at ELEMENT granularity
         (reference: BuildNearList, boundary_integral.txx:46-183 —
-        Morton sort + NbrList box search; here the single-host
-        vectorized version: targets bucketed on a uniform grid with
-        side >= max(dist_far), candidates from the 27 neighbor cells of
-        each far node, exact distance filter after).  O((Nt + Nf) log
-        + candidates) instead of the O(Nt * Nf) brute force."""
+        Morton sort + NbrList box search).  Candidates come from a
+        target grid queried per element bounding sphere (ctr_e, rad_e,
+        max df_e); sphere bounds reject most candidates without
+        touching the per-node data, and only the surviving band runs
+        the exact per-far-node distance filter — ~25x fewer distance
+        evaluations than the per-far-node 27-cell search at bench
+        scale (138k far nodes -> 960 sphere queries)."""
         Xt = self.Xt_eff
         Xf, df = self.Xf, self.df
-        maxdf = float(df.max()) if len(df) else 0.0
-        lo = np.minimum(Xt.min(0), Xf.min(0)) - 1e-12
-        hi = np.maximum(Xt.max(0), Xf.max(0)) + 1e-12
-        extent = float((hi - lo).max())
-        # cell side >= max(dist_far) so near pairs never escape the
-        # 27-cell neighborhood
-        nside = max(1, min(1024, int(extent / max(maxdf, extent / 1024,
-                                                  1e-300))))
-        side = extent / nside * (1 + 1e-12)
+        E = len(self.far_cnt)
+        if E == 0 or len(Xt) == 0:
+            self.near_pairs = []
+            return
+        s, t = self.far_dsp[:-1], self.far_dsp[1:]
+        # per-element centroid / radius / max reach
+        ctr = np.add.reduceat(Xf, s) / self.far_cnt[:, None]
+        seg = np.repeat(np.arange(E), self.far_cnt)
+        rad2 = np.zeros(E)
+        np.maximum.at(rad2, seg, ((Xf - ctr[seg]) ** 2).sum(1))
+        rad = np.sqrt(rad2)
+        df_max = np.zeros(E)
+        np.maximum.at(df_max, seg, df)
+        reach = rad + df_max                       # candidate radius
 
-        def cell(X):
-            return np.clip(((X - lo) / side).astype(np.int64), 0,
-                           nside - 1)
-
-        ct = cell(Xt)
-        key_t = (ct[:, 0] * nside + ct[:, 1]) * nside + ct[:, 2]
+        # grid over targets
+        lo = Xt.min(0) - 1e-12
+        side = max(float(reach.max()), 1e-300)
+        cellt = ((Xt - lo) / side).astype(np.int64)
+        nside = int(cellt.max()) + 1 if len(cellt) else 1
+        key_t = (cellt[:, 0] * nside + cellt[:, 1]) * nside \
+            + cellt[:, 2]
         order_t = np.argsort(key_t, kind="stable")
         key_ts = key_t[order_t]
-        cf = cell(Xf)
 
-        # element of each far node
-        elem_of_f = np.repeat(np.arange(len(self.far_cnt)),
-                              self.far_cnt)
-        pair_t, pair_e = [], []
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                for dz in (-1, 0, 1):
-                    nc = cf + np.array([dx, dy, dz])
-                    ok = np.all((nc >= 0) & (nc < nside), axis=1)
-                    nk = (nc[:, 0] * nside + nc[:, 1]) * nside + nc[:, 2]
-                    lo_i = np.searchsorted(key_ts, nk)
-                    hi_i = np.searchsorted(key_ts, nk + 1)
-                    lo_i = np.where(ok, lo_i, 0)
-                    hi_i = np.where(ok, hi_i, 0)
-                    cnt = hi_i - lo_i                  # (F,)
-                    if cnt.sum() == 0:
-                        continue
-                    fi = np.repeat(np.arange(len(Xf)), cnt)
-                    pos = (np.arange(len(fi))
-                           - np.repeat(np.cumsum(cnt) - cnt, cnt))
-                    ti = order_t[np.repeat(lo_i, cnt) + pos]
-                    d2 = ((Xt[ti] - Xf[fi]) ** 2).sum(1)
-                    keep = d2 < df[fi] ** 2
-                    pair_t.append(ti[keep])
-                    pair_e.append(elem_of_f[fi[keep]])
-        if pair_t:
-            te = np.stack([np.concatenate(pair_t),
-                           np.concatenate(pair_e)], 1)
-            te = np.unique(te, axis=0)
-            self.near_pairs = [(int(a), int(b)) for a, b in te]
-        else:
+        # per element: the 27 cells around its centroid cell cover a
+        # side-radius ball; reach <= side by construction
+        ce = ((ctr - lo) / side).astype(np.int64)
+        offs = np.stack(np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1],
+                                    indexing="ij"), -1).reshape(-1, 3)
+        nc = ce[:, None, :] + offs[None, :, :]     # (E, 27, 3)
+        nk = ((nc[..., 0] * nside + nc[..., 1]) * nside
+              + nc[..., 2]).reshape(-1)
+        ok = np.all((nc >= 0) & (nc[..., :] <= cellt.max(0)),
+                    axis=2).reshape(-1)
+        lo_i = np.where(ok, np.searchsorted(key_ts, nk), 0)
+        hi_i = np.where(ok, np.searchsorted(key_ts, nk + 1), 0)
+        cnt = hi_i - lo_i                          # (E*27,)
+        tot = int(cnt.sum())
+        if tot == 0:
             self.near_pairs = []
+            return
+        ei = np.repeat(np.arange(E * 27) // 27, cnt)
+        pos = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        ti = order_t[np.repeat(lo_i, cnt) + pos]
+        # sphere prefilter: |t - ctr_e| < rad_e + df_max_e
+        d2c = ((Xt[ti] - ctr[ei]) ** 2).sum(1)
+        keep = d2c < reach[ei] ** 2
+        ti, ei = ti[keep], ei[keep]
+        # exact per-node filter on the survivors, chunked
+        out_t, out_e = [], []
+        CH = 40_000
+        nf_max = int(self.far_cnt.max())
+        for c0 in range(0, len(ti), CH):
+            tc, ec = ti[c0:c0 + CH], ei[c0:c0 + CH]
+            idx = s[ec][:, None] + np.arange(nf_max)[None, :]
+            valid = idx < t[ec][:, None]
+            idx = np.minimum(idx, len(Xf) - 1)
+            d2 = ((Xt[tc][:, None, :] - Xf[idx]) ** 2).sum(-1)
+            near = ((d2 < df[idx] ** 2) & valid).any(1)
+            out_t.append(tc[near])
+            out_e.append(ec[near])
+        te = np.stack([np.concatenate(out_t),
+                       np.concatenate(out_e)], 1)
+        te = np.unique(te, axis=0)                 # dedupe cell overlap
+        self.near_pairs = [(int(a), int(b)) for a, b in te]
+
+    def _device_near_ok(self) -> bool:
+        """Auto policy for the device near engine: a single element
+        list carrying a DeviceGeom, uniform node/far counts, and (when
+        not forced) a TPU backend — on CPU the host f64 path is both
+        the accuracy oracle and competitive."""
+        if self.use_device_near is not None:
+            return self.use_device_near
+        if not _tpu_backend():
+            return False
+        return (len(self.elem_lists) == 1
+                and getattr(self.elem_lists[0], "device_geom", None)
+                is not None)
 
     def _build_near_matrices(self):
         """K_near(t,e) = NearInterac(t,e) - far-quadrature block(t,e)
         (reference: boundary_integral.txx:816+).
 
-        Element lists exposing `near_interac_batch` get all their
-        pairs evaluated in one vectorized call; the far-quadrature
+        Device engine (bie/near_device.py) when the backend/element
+        list supports it: descriptors on host, FLOPs on device,
+        results stay device-resident.  Host path otherwise: element
+        lists exposing `near_interac_batch` get all their pairs
+        evaluated in one vectorized call; the far-quadrature
         subtraction is batched per element either way (one kernel
         call + one BLAS contraction for all of an element's near
         targets instead of per-pair host evals)."""
         from ..ops.kernels_np import block_matrix_np
+        self._near_mats_dev = None
+        if self._device_near_ok():
+            from .near_device import assemble_near_device
+            self._near_mats_dev, nfb = assemble_near_device(self)
+            self._near_mats = None
+            self._near_fallback_count = nfb
+            return
         ker = self.kernel
         NP_ = len(self.near_pairs)
         self._near_mats = [None] * NP_
@@ -537,19 +589,33 @@ class BoundaryIntegralOp:
                                      self.far_dsp[e] + nf)
             fval[e, :nf] = True
         dt = jnp.float32 if _tpu_backend() else jnp.float64
+        hc = lambda a: jnp.asarray(np.asarray(a, dt))  # host-convert
         self._dev = {
-            "interp": jnp.asarray(interp, dt),
+            "interp": hc(interp),
             "nidx": jnp.asarray(nidx, jnp.int32),
             "fidx": jnp.asarray(np.where(fval, fidx, 0), jnp.int32),
-            "fval": jnp.asarray(fval, dt),
-            "wf": jnp.asarray(self.wf, dt),
-            "Xt": jnp.asarray(self.Xt_eff, dt),
-            "Xf": jnp.asarray(self.Xf, dt),
-            "Xnf": jnp.asarray(self.Xnf, dt),
+            "fval": hc(fval),
+            "wf": hc(self.wf),
+            "Xt": hc(self.Xt_eff),
+            "Xf": hc(self.Xf),
+            "Xnf": hc(self.Xnf),
         }
         # near corrections as ONE batched padded GEMM + scatter-add
         P = len(self.near_pairs)
-        if P:
+        if P and self._near_mats_dev is not None:
+            # device-assembled (P, R, k1) with uniform R: index tables
+            # only on host
+            R = self._near_mats_dev.shape[1]
+            pe = np.array([e for (_, e) in self.near_pairs])
+            sidx = (self.node_dsp[pe] * k0)[:, None] + np.arange(R)
+            self._dev.update({
+                "near_mats": jnp.asarray(self._near_mats_dev, dt),
+                "near_sidx": jnp.asarray(sidx, jnp.int32),
+                "near_ti": jnp.asarray(
+                    np.array([t for (t, _) in self.near_pairs]),
+                    jnp.int32),
+            })
+        elif P:
             R = max(m.shape[0] for m in self._near_mats)
             mats = np.zeros((P, R, k1))
             sidx = np.zeros((P, R), np.int64)

@@ -231,30 +231,18 @@ _DUFFY_KMAX = 28          # padded shell cap (worst case ~6 breakpoints
                           # + log_{order/2}(1/adapt_floor) geo steps)
 
 
-def duffy_quad_batch(coords: np.ndarray, order: int,
-                     adapts: np.ndarray
-                     ) -> Tuple[np.ndarray, np.ndarray]:
-    """Vectorized `duffy_quad` over P (coord, adapt) pairs at once —
-    the BIE near-setup hot loop batched (reference recipe
-    boundary_quadrature.hpp:269-383; default ratio=order/2 and
-    max_panel=1, i.e. nseg=1, matching the near_interac fast path).
-
-    All pairs share one padded shell structure: shells beyond a pair's
-    own radii ladder and degenerate panels carry ZERO weight, so the
-    caller can evaluate geometry/kernels on the fixed-shape arrays and
-    contract with the weights without per-pair branching.
-
-    Returns (nodes (P, K*4*order^2, 2), weights (P, K*4*order^2));
-    adapt values below 1e-7 are treated as 0 (shells that thin are
-    dropped by the eps filter in the scalar rule anyway).
-    """
+def duffy_radii_batch(coords: np.ndarray, order: int,
+                      adapts: np.ndarray) -> np.ndarray:
+    """Shell-radii ladders for P (coord, adapt) pairs at once — the
+    rule-DESCRIPTOR half of `duffy_quad_batch`, split out so the
+    device engine (bie/near_device.py) can upload the (P, K+1)
+    ladders and build the panels on device (the panel blend is pure
+    arithmetic; the ladder is the only data-dependent part)."""
     coords = np.atleast_2d(np.asarray(coords, np.float64))
     P = len(coords)
     adapts = np.broadcast_to(np.asarray(adapts, np.float64), (P,))
     adapts = np.where(adapts < 1e-7, 0.0, adapts)
-    q1, w1 = leg_quad_rule(order)
     ratio = 0.5 * order
-    eps = 16 * np.finfo(np.float64).eps
     c0, c1 = coords[:, 0], coords[:, 1]
     vals = np.sort(np.stack(
         [np.zeros(P), adapts, np.abs(c0), np.abs(c0 - 1.0),
@@ -285,7 +273,31 @@ def duffy_quad_batch(coords: np.ndarray, order: int,
         cols.append(r_next)
         r = r_next
         active = bp_idx < 6
-    radii = np.stack(cols, 1)                              # (P, K+1)
+    return np.stack(cols, 1)                               # (P, K+1)
+
+
+def duffy_quad_batch(coords: np.ndarray, order: int,
+                     adapts: np.ndarray
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized `duffy_quad` over P (coord, adapt) pairs at once —
+    the BIE near-setup hot loop batched (reference recipe
+    boundary_quadrature.hpp:269-383; default ratio=order/2 and
+    max_panel=1, i.e. nseg=1, matching the near_interac fast path).
+
+    All pairs share one padded shell structure: shells beyond a pair's
+    own radii ladder and degenerate panels carry ZERO weight, so the
+    caller can evaluate geometry/kernels on the fixed-shape arrays and
+    contract with the weights without per-pair branching.
+
+    Returns (nodes (P, K*4*order^2, 2), weights (P, K*4*order^2));
+    adapt values below 1e-7 are treated as 0 (shells that thin are
+    dropped by the eps filter in the scalar rule anyway).
+    """
+    coords = np.atleast_2d(np.asarray(coords, np.float64))
+    P = len(coords)
+    eps = 16 * np.finfo(np.float64).eps
+    q1, w1 = leg_quad_rule(order)
+    radii = duffy_radii_batch(coords, order, adapts)
     K = radii.shape[1] - 1
 
     yy, zz = np.meshgrid(q1, q1, indexing="ij")

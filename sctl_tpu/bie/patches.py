@@ -39,8 +39,12 @@ class ParametricPatchList(ElementListBase):
 
     def __init__(self, charts: List[Callable], q: int = 6,
                  upsample: int = 2, flip_normal: bool = False,
-                 surface_batch: Callable = None):
+                 surface_batch: Callable = None, device_geom=None):
         self.charts = charts
+        # optional DeviceGeom (bie/near_device.py): exact-difference
+        # chart evaluation on device — enables the device-resident
+        # near-quadrature assembly (the <100 s cold-setup path)
+        self.device_geom = device_geom
         # optional struct-of-arrays geometry: surface_batch(eids (M,),
         # uv (M,2) local coords) -> X (M,3), vectorized over rows with
         # PER-ROW elements.  When present, every setup-path geometry
@@ -555,8 +559,11 @@ def sphere_patches(n_per_face: int = 1, q: int = 6, radius: float = 1.0,
         p[rows, ax_arr[f, 2]] = sgn_arr[f]
         return radius * p / np.linalg.norm(p, axis=1)[:, None]
 
+    from .near_device import SphereGeom
     return ParametricPatchList(charts, q=q, upsample=upsample,
-                               surface_batch=surface_batch)
+                               surface_batch=surface_batch,
+                               device_geom=SphereGeom(
+                                   n_per_face, radius, axes))
 
 
 def torus_patches(nu: int = 4, nv: int = 2, q: int = 6,
@@ -589,5 +596,7 @@ def torus_patches(nu: int = 4, nv: int = 2, q: int = 6,
                          r * np.sin(ph)], 1)
 
     # d(theta) x d(phi) gives the outward normal
+    from .near_device import TorusGeom
     return ParametricPatchList(charts, q=q, upsample=upsample,
-                               surface_batch=surface_batch)
+                               surface_batch=surface_batch,
+                               device_geom=TorusGeom(nu, nv, R, r))

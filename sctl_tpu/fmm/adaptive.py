@@ -395,30 +395,31 @@ class AdaptiveFMM:
                + side01[:, None] / 2) * sc + off
 
         data = {
-            "xs_pad": jnp.asarray(tree.X_sorted[sidx], dt),
-            "ns_pad": jnp.asarray(ns_sorted[sidx], dt),
+            "xs_pad": jnp.asarray(np.asarray(tree.X_sorted[sidx], dt)),
+            "ns_pad": jnp.asarray(np.asarray(ns_sorted[sidx], dt)),
             "s_valid": jnp.asarray(svalid),
-            "xt_pad": jnp.asarray(xt_sorted[tidx], dt),
+            "xt_pad": jnp.asarray(np.asarray(xt_sorted[tidx], dt)),
             "t_valid": jnp.asarray(tvalid),
             "leaf_lvl": jnp.asarray(lvl, jnp.int32),
-            "ctr": jnp.asarray(ctr, dt),
+            "ctr": jnp.asarray(np.asarray(ctr, dt)),
         }
         self._svalid_np = svalid
         self._sidx_np = sidx
         self._tidx_np = tidx
         self._tvalid_np = tvalid
 
-        # per-level constant tables
-        data["uc2e"] = tuple(jnp.asarray(a, dt) for a in ops.uc2e)
-        data["dc2e"] = tuple(jnp.asarray(a, dt) for a in ops.dc2e)
-        data["m2m"] = tuple(jnp.asarray(a, dt) for a in ops.m2m)
-        data["l2l"] = tuple(jnp.asarray(a, dt) for a in ops.l2l)
-        data["m2l_u"] = tuple(jnp.asarray(a, dt) for a in ops.m2l_u)
-        data["m2l_c"] = tuple(jnp.asarray(a, dt) for a in ops.m2l_c)
-        data["surf_in"] = tuple(jnp.asarray(a, dt)
-                                for a in ops.surf_in)
-        data["surf_out"] = tuple(jnp.asarray(a, dt)
-                                 for a in ops.surf_out)
+        # per-level constant tables (host-converted to dt BEFORE the
+        # upload: f64 bytes over the tunnel + a device convert dispatch
+        # per table measured ~2x the table-upload cost)
+        hc = lambda a: jnp.asarray(np.asarray(a, dt))
+        data["uc2e"] = tuple(hc(a) for a in ops.uc2e)
+        data["dc2e"] = tuple(hc(a) for a in ops.dc2e)
+        data["m2m"] = tuple(hc(a) for a in ops.m2m)
+        data["l2l"] = tuple(hc(a) for a in ops.l2l)
+        data["m2l_u"] = tuple(hc(a) for a in ops.m2l_u)
+        data["m2l_c"] = tuple(hc(a) for a in ops.m2l_c)
+        data["surf_in"] = tuple(hc(a) for a in ops.surf_in)
+        data["surf_out"] = tuple(hc(a) for a in ops.surf_out)
 
         # node maps
         data["parent_idx"] = tuple(
@@ -443,7 +444,11 @@ class AdaptiveFMM:
         data["node_ctr"] = tuple(nodectr)
 
         # V lists: per level, concatenated (ti, si, oid) sorted by oid
+        # (host copies kept for the vtab build below — re-reading the
+        # device arrays would be a device->host transfer of the whole
+        # pair list, ~26 s/level over the axon tunnel)
         vli = []
+        vli_np = []
         for l in range(2, L + 1):
             tis, sis, oids = [], [], []
             for (ti, si, oid) in V.get(l, []):
@@ -455,10 +460,13 @@ class AdaptiveFMM:
                 si = np.concatenate(sis)
                 oid = np.concatenate(oids)
                 order = np.argsort(oid, kind="stable")
-                vli.append((jnp.asarray(ti[order], jnp.int32),
-                            jnp.asarray(si[order], jnp.int32),
-                            jnp.asarray(oid[order], jnp.int32)))
+                ti, si, oid = ti[order], si[order], oid[order]
+                vli_np.append((ti, si, oid))
+                vli.append((jnp.asarray(ti, jnp.int32),
+                            jnp.asarray(si, jnp.int32),
+                            jnp.asarray(oid, jnp.int32)))
             else:
+                vli_np.append((np.zeros(0, np.int64),) * 3)
                 vli.append((jnp.zeros(0, jnp.int32),) * 3)
         data["vlist"] = tuple(vli)
 
@@ -508,7 +516,7 @@ class AdaptiveFMM:
         # aligned because identical keys keep their relative order)
         vtab = []
         for li, l in enumerate(range(2, L + 1)):
-            ti, si, oid = (np.asarray(a) for a in data["vlist"][li])
+            ti, si, oid = vli_np[li]
             tpad, _ = _pad_rows(oid, ti, 316)
             spad, _ = _pad_rows(oid, si, 316)
             vtab.append((jnp.asarray(tpad, jnp.int32),

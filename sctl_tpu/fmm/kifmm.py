@@ -349,7 +349,9 @@ class KIFMMOperators:
                     for lvl in range(1, depth + 1)]
         self.l2l = [conj3(self.l2l_unit, lam[lvl - 1])
                     for lvl in range(1, depth + 1)]
-        self.m2l = [conj3(self.m2l_unit, l) for l in lam]
+        # the full per-level M2L stack is never consumed (every eval
+        # path reads the compressed m2l_u/m2l_v/m2l_a/m2l_c family);
+        # deriving it cost ~40 s and ~700 MB/level for Stokes FSxU
         rvec = lambda l: np.power(
             l, np.tile(s_exp, self.cb_unit.shape[0] // len(s_exp)))
         self.m2l_u = [self.cb_unit if flat
@@ -367,17 +369,24 @@ class KIFMMOperators:
                                    # single-exponent kernels; dedupe so
                                    # each unique table uploads once
 
+        def _host_cast(a):
+            # convert on HOST first: uploading f64 then converting on
+            # device doubles the tunnel bytes and issues one
+            # convert_element_type dispatch per table
+            return (np.asarray(a, dtype) if isinstance(a, np.ndarray)
+                    else a)
+
         def cast(a):
             d = seen.get(id(a))
             if d is None:
-                d = seen[id(a)] = jnp.asarray(a, dtype=dtype)
+                d = seen[id(a)] = jnp.asarray(_host_cast(a),
+                                              dtype=dtype)
             return d
 
         self.uc2e_d = [cast(a) for a in self.uc2e]
         self.dc2e_d = [cast(a) for a in self.dc2e]
         self.m2m_d = [cast(a) for a in self.m2m]
         self.l2l_d = [cast(a) for a in self.l2l]
-        self.m2l_d = [cast(a) for a in self.m2l]
         self.m2l_u_d = [cast(a) for a in self.m2l_u]
         self.m2l_c_d = [cast(a) for a in self.m2l_c]
         self.m2l_v_d = [cast(a) for a in self.m2l_v]
@@ -388,8 +397,8 @@ class KIFMMOperators:
             d = at_seen.get(id(a))
             if d is None:
                 d = at_seen[id(a)] = jnp.asarray(
-                    np.ascontiguousarray(np.transpose(a, (0, 2, 1))),
-                    dtype=dtype)
+                    np.ascontiguousarray(np.transpose(
+                        _host_cast(a), (0, 2, 1))), dtype=dtype)
             return d
 
         self.m2l_at_d = [at_cast(a) for a in self.m2l_a]
@@ -447,7 +456,8 @@ class KIFMMOperators:
         def cat_cast(a, f):
             d = cat_seen.get(id(a))
             if d is None:
-                d = cat_seen[id(a)] = jnp.asarray(f(a), dtype=dtype)
+                d = cat_seen[id(a)] = jnp.asarray(f(_host_cast(a)),
+                                                  dtype=dtype)
             return d
 
         self.m2m_cat_d = [cat_cast(a, lambda a: np.transpose(
@@ -467,9 +477,12 @@ class KIFMMOperators:
         self.k0t = ker_trans.kdim0
         self.k1t = ker_trans.kdim1
 
+    # m2l_unit (the full 316-offset stack — 700 MB for Stokes FSxU) is
+    # deliberately NOT cached: it exists only as the input of
+    # _compress_m2l_unit on the build path; every consumer reads the
+    # compressed cb/cc/vb/ca family.
     _UNIT_NAMES = ("uc2e_unit", "dc2e_unit", "m2m_unit", "l2l_unit",
-                   "m2l_unit", "cb_unit", "cc_unit", "vb_unit",
-                   "ca_unit")
+                   "cb_unit", "cc_unit", "vb_unit", "ca_unit")
 
     def _save_cache(self, path):
         import os
@@ -488,6 +501,7 @@ class KIFMMOperators:
             z = np.load(path)
             for n in self._UNIT_NAMES:
                 setattr(self, n, z[n])
+            self.m2l_unit = None       # build-path-only (see above)
             return True
         except Exception:
             return False
