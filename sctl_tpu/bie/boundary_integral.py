@@ -357,6 +357,21 @@ class BoundaryIntegralOp:
               else np.zeros((0, 2), np.int64))
         self.near_pairs = [(int(a), int(b)) for a, b in te]
 
+    def _near_mats_list(self):
+        """Near matrices as a host list (ragged-capable).  In device-
+        assembly mode this materializes the (P, R, k1) device array
+        with ONE download — only paths that genuinely need host copies
+        (the CPU-mesh ShardedBIEApply packing, cache save) call it."""
+        if self._near_mats is not None:
+            return self._near_mats
+        if self._near_mats_dev is None:
+            return []
+        k1 = self.kernel.kdim1
+        blob = np.asarray(self._near_mats_dev, np.float64)
+        self._near_mats = [blob[i].reshape(-1, k1)
+                           for i in range(blob.shape[0])]
+        return self._near_mats
+
     # -- near-setup disk cache -------------------------------------------
     def _near_key(self) -> str:
         """Geometry/config fingerprint guarding the near cache."""

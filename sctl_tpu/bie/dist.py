@@ -171,7 +171,8 @@ class ShardedBIEApply:
         # ---- near corrections: element-owner-side GEMMs + routed
         # scatter (ScatterForward, boundary_integral.txx:1092-1129) ----
         pairs = op.near_pairs
-        R = (max(m.shape[0] for m in op._near_mats)
+        near_mats = op._near_mats_list()
+        R = (max(m.shape[0] for m in near_mats)
              if pairs else 1)
         owner_e = np.zeros(E, np.int64)
         for d in range(ndev):
@@ -185,11 +186,17 @@ class ShardedBIEApply:
         piloc, Pc = _rank_within(a_arr)        # local payload index
         Pc = max(1, Pc)
         mats_l = np.zeros((ndev, Pc, R, k1))
-        for pi, m in enumerate(op._near_mats):  # ragged copies only
-            mats_l[a_arr[pi], piloc[pi], :m.shape[0]] = m.reshape(
-                -1, k1)
-        rows = (np.array([m.shape[0] for m in op._near_mats],
+        rows = (np.array([m.shape[0] for m in near_mats],
                          np.int64) if pairs else np.zeros(0, np.int64))
+        if pairs and rows.min() == rows.max() == R:
+            # uniform-row case (every ParametricPatchList): ONE
+            # vectorized scatter instead of a 250k-iteration loop
+            mats_l[a_arr, piloc] = np.asarray(near_mats).reshape(
+                len(pairs), R, k1)
+        else:
+            for pi, m in enumerate(near_mats):  # ragged copies only
+                mats_l[a_arr[pi], piloc[pi], :m.shape[0]] = \
+                    m.reshape(-1, k1)
         s0 = op.node_dsp[pe] * k0 - n_lo[a_arr] * k0
         J = np.arange(R)[None, :]
         sidx_l = np.zeros((ndev, Pc, R), np.int64)

@@ -404,7 +404,7 @@ def assemble_near_device(op, dtype=None, chunk_scale: float = 1.0):
     bands = [b for b in bands if len(b[2])]
     if bands:
         S_pad = max(qk * qk for _, qk, _ in bands)
-        C = max(64, int(chunk_scale * 2.5e6) // S_pad)
+        C = max(64, int(chunk_scale * 8.0e6) // S_pad)
         for k, qk, idx in bands:
             uv, ww = _uv_rule(qk)
             S = len(ww)
@@ -583,7 +583,7 @@ def _duffy_sweep(op, lst, geom, ker, didx, pair_e, u0, adapt, r0vec,
     radii = np.pad(radii, ((0, 0), (0, K + 1 - radii.shape[1])),
                    mode="edge")
     npts = K * 4 * order * order
-    C = max(32, int(chunk_scale * 1.8e6) // npts)
+    C = max(32, int(chunk_scale * 4.0e6) // npts)
     qnodes = tuple(float(v) for v in lst._x1)
 
     for c0 in range(0, D, C):
