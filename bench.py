@@ -30,12 +30,14 @@ import sys
 import time
 
 # per-leg wall-clock budgets (seconds, env-tunable); worst-case total
-# = probe 240 + fmm 1500 + bie 3000 + f64 900 = 5640 s, under the
-# driver budget that killed BENCH_r04
+# = probe 240 + fmm 1500 + bie 2600 + f64 1400 = 5740 s, under the
+# driver budget that killed BENCH_r04.  Measured r5: fmm ~360 s, bie
+# ~1100 s (setup 292.6 s with the device near engine), f64 ~730 s
+# warm / ~1100 s cold (setup 76 s cached + 650 s solve to 2.9e-11).
 _BUDGETS = {
     "fmm": float(os.environ.get("SCTL_BENCH_FMM_TIMEOUT", 1500)),
-    "bie": float(os.environ.get("SCTL_BENCH_BIE_TIMEOUT", 3000)),
-    "bie-f64": float(os.environ.get("SCTL_BENCH_F64_TIMEOUT", 900)),
+    "bie": float(os.environ.get("SCTL_BENCH_BIE_TIMEOUT", 2600)),
+    "bie-f64": float(os.environ.get("SCTL_BENCH_F64_TIMEOUT", 1400)),
 }
 _DEADLINE = float(os.environ.get("SCTL_BENCH_DEADLINE", 5800))
 

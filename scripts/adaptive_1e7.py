@@ -41,28 +41,28 @@ def main():
     f = rng.normal(size=(n, 1))
 
     t0 = time.perf_counter()
-    fm = AdaptiveFMM(Laplace3D_FxU, p=6).setup(x, x)
+    fm = AdaptiveFMM(Laplace3D_FxU, p=6, max_pts=256, use_pallas_ulist=False).setup(x, x)
     t_setup = time.perf_counter() - t0
     n_leaf = len(fm.tree.leaf_keys)
     print(f"setup {t_setup:.1f}s  leaves {n_leaf}  depth {fm.L} "
           f"cap_s {fm.cap_s}", flush=True)
 
     params = fm.eval_params()
-    fp = fm._pad_density(f)
+    fj = jnp.asarray(f, fm.dtype)
 
     @jax.jit
-    def fused(fp, params):
-        u = fm._eval_impl(fp, params)
+    def fused(fj, params):
+        u = fm.eval_jnp(fj, params)
         return u, jnp.sum(u)
 
-    u, s = fused(fp, params)
+    u, s = fused(fj, params)
     float(s)                                     # compile + warm
     times = []
     for rep in range(3):
-        f2 = f * (1.0 + 1e-6 * (rep + 1))
-        fp2 = fm._pad_density(f2)
+        fj2 = jnp.asarray(f * (1.0 + 1e-6 * (rep + 1)), fm.dtype)
+        float(jnp.sum(fj2))                      # materialize upload
         t0 = time.perf_counter()
-        u, s = fused(fp2, params)
+        u, s = fused(fj2, params)
         float(s)                                 # fenced readback
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[1]

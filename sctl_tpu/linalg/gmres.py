@@ -232,16 +232,22 @@ def _pair_device(Q, H, cs, sn, k, m, dtype):
 
     M = lax.fori_loop(0, m - 1, rotj, M)
     ek = (j1 == k).astype(dtype)
-    rowk = cs[k - 1] * jnp.take(M, k - 1, axis=0) + sn[k - 1] * ek
-    M = M.at[k - 1].set(rowk)
-    M = jnp.where(i[:, None] < k, M, 0.0)
+    # k == 0 (a cycle that started already converged — common once an
+    # earlier cycle hit tol, since the restart scan has a fixed trip
+    # count) must yield an INERT pair: M[k-1] would wrap to row -1 and
+    # poison the preconditioner (measured: a BIE second-solve went
+    # 22 -> 40 iterations from one such pair).
+    kk = jnp.maximum(k, 1)
+    rowk = cs[kk - 1] * jnp.take(M, kk - 1, axis=0) + sn[kk - 1] * ek
+    M = M.at[kk - 1].set(rowk)
+    M = jnp.where((i[:, None] < k) & (k > 0), M, 0.0)
     Qt = (M @ Q).T                                     # (N, m)
     Hm = jnp.where((i[:, None] < k) & (i[None, :] < k), H[:m, :m],
                    jnp.eye(m, dtype=dtype))
     HinvT = jax.scipy.linalg.solve_triangular(
         Hm.T, jnp.eye(m, dtype=dtype), lower=True)     # Hk^{-T} block
     U = HinvT @ Q[:m] - Qt.T
-    U = jnp.where(i[:, None] < k, U, 0.0)
+    U = jnp.where((i[:, None] < k) & (k > 0), U, 0.0)
     return Qt, U
 
 

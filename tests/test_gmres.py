@@ -306,3 +306,36 @@ def test_gmres_ld_below_f64_floor():
     rel = float(np.sqrt(r @ r) / np.sqrt(b @ b))
     assert rel < 1e-16, rel
     assert it <= n
+
+
+def test_gmres_device_recycle_converged_cycles_inert():
+    """A recycle=True solve whose FIRST cycle already reaches tol must
+    return inert (zero) pairs for the remaining restart cycles — the
+    k=0 pair construction once indexed row -1 and poisoned the stack
+    (measured on the BIE bench: second solve 22 -> 40 iterations).
+    The preconditioned second solve must never be SLOWER than plain."""
+    import jax.numpy as jnp
+    from sctl_tpu.linalg.gmres import gmres_device
+
+    rng = np.random.default_rng(9)
+    n = 40
+    A = np.eye(n) + 0.05 * rng.normal(size=(n, n)) / np.sqrt(n)
+    op = lambda v: jnp.asarray(A) @ v
+    b1 = rng.normal(size=n)
+    # max_iter ample: cycle 1 converges, cycles 2..4 run with k=0
+    x, it, err, (U_s, Qt_s) = gmres_device(
+        op, jnp.asarray(b1), tol=1e-10, max_iter=n, restarts=4,
+        recycle=True)
+    assert float(jnp.linalg.norm(op(x) - jnp.asarray(b1))) \
+        < 1e-8 * np.linalg.norm(b1)
+    # trailing cycles' pairs are exactly zero
+    assert float(jnp.abs(U_s[1:]).max()) == 0.0
+    assert float(jnp.abs(Qt_s[1:]).max()) == 0.0
+    b2 = rng.normal(size=n)
+    x0, it0, _ = gmres_device(op, jnp.asarray(b2), tol=1e-10,
+                              max_iter=n)
+    xp, itp, _ = gmres_device(op, jnp.asarray(b2), tol=1e-10,
+                              max_iter=n, precond=(U_s, Qt_s))
+    assert float(jnp.linalg.norm(op(xp) - jnp.asarray(b2))) \
+        < 1e-8 * np.linalg.norm(b2)
+    assert int(itp) <= int(it0), (int(itp), int(it0))
