@@ -16,6 +16,39 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
+def make_lite(ker, p, rcond):
+    """Convert a full v4hp table file into the committable lite
+    artifact (see KIFMMOperators._load_cache_lite): keep the
+    longdouble-derived small matrices exactly, quantize the ld
+    refinement of ca_unit to per-offset-scaled f16, drop everything
+    f64-rebuildable."""
+    import numpy as np
+    from sctl_tpu.fmm.kifmm import (_kmat, _op_cache_path,
+                                    _vlist_offsets, cube_surface,
+                                    KIFMMOperators, RAD_IN)
+
+    path = _op_cache_path(ker, p, rcond, hiprec=True)
+    lp = path[:-4] + "_lite.npz"
+    z = np.load(path)
+    s_in = cube_surface(p) * (RAD_IN / 2)
+    offsets, _ = _vlist_offsets()
+    M = np.stack([z["dc2e_unit"] @ _kmat(ker, s_in, s_in + d * 1.0)
+                  for d in offsets])
+    C = np.einsum("nm,omk->onk", z["cb_unit"].T, M, optimize=True)
+    ca64 = np.einsum("ork,kn->orn", C, z["vb_unit"], optimize=True)
+    delta = z["ca_unit"] - ca64
+    scale = np.maximum(np.abs(delta).max(axis=(1, 2)), 1e-300)
+    rel = float(np.abs(delta).max()
+                / max(np.abs(z["ca_unit"]).max(), 1e-300))
+    out = {n: z[n] for n in KIFMMOperators._LITE_NAMES}
+    out["ca_delta"] = np.float16(delta / scale[:, None, None])
+    out["ca_scale"] = scale
+    np.savez(lp, **out)
+    print(f"p={p}: lite -> {lp} "
+          f"({os.path.getsize(lp) / 1e6:.0f} MB, "
+          f"max|delta|/max|ca| = {rel:.2e})", flush=True)
+
+
 def main():
     import jax.numpy as jnp
     from sctl_tpu.fmm.kifmm import KIFMMOperators, _op_cache_path
@@ -26,13 +59,15 @@ def main():
         path = _op_cache_path(Laplace3D_FxU, p, 1e-10, hiprec=True)
         if os.path.exists(path):
             print(f"p={p}: cache exists: {path}")
-            continue
-        t0 = time.time()
-        KIFMMOperators(Laplace3D_FxU, Laplace3D_FxU, Laplace3D_FxU,
-                       p=p, depth=2, scale=1.0, dtype=jnp.float64,
-                       rcond=1e-10, hiprec=True)
-        print(f"p={p}: built in {time.time() - t0:.0f}s -> {path}",
-              flush=True)
+        else:
+            t0 = time.time()
+            KIFMMOperators(Laplace3D_FxU, Laplace3D_FxU, Laplace3D_FxU,
+                           p=p, depth=2, scale=1.0, dtype=jnp.float64,
+                           rcond=1e-10, hiprec=True)
+            print(f"p={p}: built in {time.time() - t0:.0f}s -> {path}",
+                  flush=True)
+        if not os.path.exists(path[:-4] + "_lite.npz"):
+            make_lite(Laplace3D_FxU, p, 1e-10)
 
 
 if __name__ == "__main__":

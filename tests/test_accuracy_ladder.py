@@ -113,14 +113,23 @@ def test_rung_ld_p12_flagship():
     assert rel < 1.5e-9, rel
 
 
+def _hp_cache_missing(p):
+    """The rung runs from EITHER the full v4hp table file or the
+    committed lite artifact (KIFMMOperators._load_cache_lite, ~200 MB
+    vs 1.2-2.7 GB, rebuilt-on-load f64 stacks + f16 ld-delta); only a
+    fully cold build (~15-60 min single-core) is skipped."""
+    import os
+    base = f"data/kifmm_Laplace3D-FxU_p{p}_r1e-10_unit_v4hp"
+    return not (os.path.exists(base + ".npz")
+                or os.path.exists(base + "_lite.npz"))
+
+
 def test_rung_f64_p10_hiprec():
     """p=10 hiprec rung: measured 8.6e-9 (rcond=1e-10, 80-bit table
     products).  Gated on the operator disk cache — a cold build is
     ~15 min single-core (randomized SVD included), too slow for CI."""
-    import os
     import pytest
-    if not os.path.exists(
-            "data/kifmm_Laplace3D-FxU_p10_r1e-10_unit_v4hp.npz"):
+    if _hp_cache_missing(10):
         pytest.skip("cold operator cache (build ~15 min)")
     rel = _rung_hp(10, 1e-10)
     assert rel < 3e-8, rel
@@ -129,10 +138,8 @@ def test_rung_f64_p10_hiprec():
 def test_rung_f64_p12_hiprec():
     """p=12 hiprec rung: measured 6.8e-9 — the f64 pipeline plateau
     (see BASELINE.md for the one-hop decomposition of why)."""
-    import os
     import pytest
-    if not os.path.exists(
-            "data/kifmm_Laplace3D-FxU_p12_r1e-10_unit_v4hp.npz"):
+    if _hp_cache_missing(12):
         pytest.skip("cold operator cache (build ~60 min)")
     rel = _rung_hp(12, 1e-10)
     assert rel < 3e-8, rel
