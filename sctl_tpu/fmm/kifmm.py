@@ -532,8 +532,11 @@ class KIFMMOperators:
             z = np.load(lp)
             for n in self._LITE_NAMES:
                 setattr(self, n, z[n])
-            delta = (np.float64(z["ca_delta"])
-                     * z["ca_scale"][:, None, None])
+            qd = z["ca_delta"]
+            delta = np.float64(qd)
+            if qd.dtype == np.int8:    # 1/127-resolution quantization
+                delta /= 127.0
+            delta *= z["ca_scale"][:, None, None]
         except Exception:
             return False
         s_in = surf * (RAD_IN / 2)

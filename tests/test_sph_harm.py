@@ -429,6 +429,34 @@ def test_p256_roundtrip_matrixstorage():
     assert time.time() - t0 < 30.0
 
 
+def test_p512_roundtrip_matrixstorage():
+    """p=512 scalar roundtrip from the disk cache (VERDICT r4 #10 —
+    the last distance to the reference's SCTL_SHMAXDEG = 1024 class,
+    sph_harm.hpp:13).  The Legendre table is (513, 513, 514) f64
+    (~1.1 GB) served via the MatrixStorage-analogue `_sh_disk_cache`;
+    the scalar transforms stay single batched einsums (trace size
+    O(1) in p) and the vector-transform tables stay lazy, so this
+    costs one table build + two GEMMs."""
+    import os
+    import time
+    from sctl_tpu.config import config
+
+    p = 512
+    sh = SphericalHarmonics(p)
+    s = RNG.normal(size=sh_dim(p))
+    back = np.asarray(sh.grid2shc(sh.shc2grid(s)))
+    np.testing.assert_allclose(back, s, atol=1e-8)
+    path = os.path.join(config.data_path,
+                        f"sh_legendre_p{p}_nt{sh.nt}_v1.npz")
+    assert os.path.exists(path), path
+    # warm-cache rebuild is a table read, no recurrence
+    from sctl_tpu.linalg.sph_harm import _legendre_tables
+    _legendre_tables.cache_clear()
+    t0 = time.time()
+    SphericalHarmonics(p)
+    assert time.time() - t0 < 60.0
+
+
 def test_shc_arrange_layouts():
     """The reference's three SHCArrange storage layouts roundtrip the
     packed coefficients and have the documented sizes
